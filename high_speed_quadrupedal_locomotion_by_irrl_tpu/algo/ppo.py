@@ -1,0 +1,243 @@
+"""Recurrent PPO, end-to-end on device.
+
+Functional re-design of the reference's PPO2 (ppo2.py:18-450): the Python
+rollout loop (750 iterations crossing the pybind and TF-session boundaries
+twice per step, ppo2.py:494-582) becomes one ``lax.scan`` carrying
+(env state, LSTM state, obs, dones); GAE is a reverse scan; the clipped
+surrogate + clipped value loss + entropy objective matches ppo2.py:152-175
+term for term; optimization is Adam(eps=1e-5) under global-norm clipping
+(ppo2.py:190-197) via optax. Recurrent minibatching shuffles whole
+environments, never steps, keeping sequences intact (ppo2.py:381-404), and
+all environments are reset after every rollout (ppo2.py:577).
+
+The reference's PPO3 "one big graph, caller-driven" variant (ppo3.py:11-444)
+needs no separate implementation here: :func:`rollout`, :func:`ppo_loss`, and
+:func:`make_update_fn` are already the externally-drivable pieces — callers
+compose them the way PPO3's get_next_action/collect/learn contract intended.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo.gae import advantages
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.config import EnvConfig
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Hyperparameters; defaults = the reference's training run
+    (run_bp_v5.py:227-242, ppo2.py:195-196)."""
+    learning_rate: float = 1e-3
+    gamma: float = 0.99
+    lam: float = 0.998
+    clip_range: float = 0.2
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    noptepochs: int = 10
+    nminibatches: int = 1
+    n_steps: int = 750
+    n_lstm: tuple = (48, 48)
+
+
+class TrainState(NamedTuple):
+    params: lstm.PolicyParams
+    opt_state: optax.OptState
+    env_state: bp.EnvState        # batched (B leading axis)
+    lstm_state: jnp.ndarray       # (B, S)
+    obs: jnp.ndarray              # (B, 35) normalized
+    dones: jnp.ndarray            # (B,) done flags after the last step
+    key: jax.Array
+    update_idx: jnp.ndarray       # () int32
+
+
+class Batch(NamedTuple):
+    obs: jnp.ndarray        # (T, B, 35)
+    actions: jnp.ndarray    # (T, B, 12)
+    values: jnp.ndarray     # (T, B)
+    neglogpacs: jnp.ndarray  # (T, B)
+    returns: jnp.ndarray    # (T, B)
+    dones_before: jnp.ndarray  # (T, B) mask for LSTM resets during BPTT
+    rewards: jnp.ndarray    # (T, B) true env rewards (for logging)
+    init_lstm_state: jnp.ndarray  # (B, S)
+
+
+def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.learning_rate, eps=1e-5),
+    )
+
+
+def init_train_state(env_cfg: EnvConfig, ppo_cfg: PPOConfig, key: jax.Array,
+                     params: Optional[lstm.PolicyParams] = None) -> TrainState:
+    k_params, k_env, k_train = jax.random.split(key, 3)
+    if params is None:
+        params = lstm.init(k_params, bp.OBS_DIM, bp.ACT_DIM, ppo_cfg.n_lstm)
+    env_state = jax.vmap(lambda k: bp.env_init(env_cfg, k))(
+        jax.random.split(k_env, env_cfg.num_envs))
+    obs = jax.vmap(lambda s: bp.observe(env_cfg, s))(env_state)
+    opt_state = make_optimizer(ppo_cfg).init(params)
+    return TrainState(
+        params=params, opt_state=opt_state, env_state=env_state,
+        lstm_state=jnp.zeros((env_cfg.num_envs, lstm.state_size(ppo_cfg.n_lstm))),
+        obs=obs, dones=jnp.zeros((env_cfg.num_envs,), bool),
+        key=k_train, update_idx=jnp.zeros((), jnp.int32))
+
+
+def rollout(env_cfg: EnvConfig, ppo_cfg: PPOConfig, ts: TrainState):
+    """Collect n_steps transitions; returns (new TrainState pieces, Batch)."""
+    init_lstm = ts.lstm_state
+
+    def scan_fn(carry, key_t):
+        env_state, lstm_state, obs, dones = carry
+        out = lstm.forward(ts.params, obs, lstm_state, dones.astype(obs.dtype))
+        action = lstm.sample(key_t, out.mean, out.logstd)
+        nlp = lstm.neglogp(out.mean, out.logstd, action)
+        clipped = jnp.clip(action, -1.0, 1.0)   # action-space bounds (Runner, ppo2.py:530)
+        step_out = jax.vmap(lambda s, a: bp.step(env_cfg, s, a))(env_state, clipped)
+        data = (obs, action, out.value, nlp, dones.astype(obs.dtype),
+                step_out.reward, step_out.done)
+        return (step_out.state, out.state, step_out.obs, step_out.done), data
+
+    key, k_roll = jax.random.split(ts.key)
+    keys = jax.random.split(k_roll, ppo_cfg.n_steps)
+    (env_state, lstm_state, obs, dones), data = jax.lax.scan(
+        scan_fn, (ts.env_state, ts.lstm_state, ts.obs, ts.dones), keys)
+    (mb_obs, mb_actions, mb_values, mb_nlp, mb_dones_before,
+     mb_rewards, mb_dones_after) = data
+
+    last_value = lstm.forward(ts.params, obs, lstm_state, dones.astype(obs.dtype)).value
+    advs, returns = advantages(mb_rewards, mb_values, mb_dones_after,
+                               last_value, ppo_cfg.gamma, ppo_cfg.lam)
+    batch = Batch(obs=mb_obs, actions=mb_actions, values=mb_values,
+                  neglogpacs=mb_nlp, returns=returns, dones_before=mb_dones_before,
+                  rewards=mb_rewards, init_lstm_state=init_lstm)
+
+    # reference resets every env after each rollout (ppo2.py:577)
+    env_state = jax.vmap(lambda s: bp.reset(env_cfg, s))(env_state)
+    obs = jax.vmap(lambda s: bp.observe(env_cfg, s))(env_state)
+    new_ts = ts._replace(env_state=env_state, lstm_state=lstm_state,
+                         obs=obs, dones=dones, key=key)
+    return new_ts, batch
+
+
+def ppo_loss(params: lstm.PolicyParams, batch: Batch, ppo_cfg: PPOConfig):
+    """Clipped-surrogate loss over full sequences (BPTT)."""
+    seq = lstm.sequence(params, batch.obs, batch.dones_before, batch.init_lstm_state)
+    nlp = lstm.neglogp(seq.mean, seq.logstd, batch.actions)          # (T,B)
+    ent = jnp.mean(lstm.entropy(seq.logstd))
+    vpred = seq.value
+
+    advs = batch.returns - batch.values
+    advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+
+    vpred_clipped = batch.values + jnp.clip(vpred - batch.values,
+                                            -ppo_cfg.clip_range, ppo_cfg.clip_range)
+    vf_loss = 0.5 * jnp.mean(jnp.maximum((vpred - batch.returns) ** 2,
+                                         (vpred_clipped - batch.returns) ** 2))
+    ratio = jnp.exp(batch.neglogpacs - nlp)
+    pg1 = -advs * ratio
+    pg2 = -advs * jnp.clip(ratio, 1.0 - ppo_cfg.clip_range, 1.0 + ppo_cfg.clip_range)
+    pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
+    loss = pg_loss - ent * ppo_cfg.ent_coef + vf_loss * ppo_cfg.vf_coef
+
+    approxkl = 0.5 * jnp.mean((nlp - batch.neglogpacs) ** 2)
+    clipfrac = jnp.mean((jnp.abs(ratio - 1.0) > ppo_cfg.clip_range).astype(jnp.float32))
+    return loss, {"pg_loss": pg_loss, "vf_loss": vf_loss, "entropy": ent,
+                  "approxkl": approxkl, "clipfrac": clipfrac}
+
+
+def _select_envs(batch: Batch, idx: jnp.ndarray) -> Batch:
+    """Take a subset of environments (recurrent minibatching shuffles envs)."""
+    take_t = lambda x: jnp.take(x, idx, axis=1)  # noqa: E731
+    return Batch(
+        obs=take_t(batch.obs), actions=take_t(batch.actions),
+        values=take_t(batch.values), neglogpacs=take_t(batch.neglogpacs),
+        returns=take_t(batch.returns), dones_before=take_t(batch.dones_before),
+        rewards=take_t(batch.rewards),
+        init_lstm_state=jnp.take(batch.init_lstm_state, idx, axis=0))
+
+
+def make_update_fn(env_cfg: EnvConfig, ppo_cfg: PPOConfig) -> Callable:
+    """One full PPO update: rollout + noptepochs x env-shuffled minibatches.
+
+    Returns a jittable fn TrainState -> (TrainState, metrics dict).
+    """
+    optimizer = make_optimizer(ppo_cfg)
+    n_envs = env_cfg.num_envs
+    nmb = ppo_cfg.nminibatches
+    assert n_envs % nmb == 0, "num_envs must be divisible by nminibatches"
+    envs_per_mb = n_envs // nmb
+
+    grad_fn = jax.value_and_grad(ppo_loss, has_aux=True)
+
+    def train_minibatch(carry, idx_mb):
+        params, opt_state, batch = carry
+        mb = _select_envs(batch, idx_mb)
+        (loss, aux), grads = grad_fn(params, mb, ppo_cfg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, **aux}
+        return (params, opt_state, batch), metrics
+
+    def train_epoch(carry, key_e):
+        params, opt_state, batch = carry
+        perm = jax.random.permutation(key_e, n_envs).reshape(nmb, envs_per_mb)
+        (params, opt_state, batch), metrics = jax.lax.scan(
+            train_minibatch, (params, opt_state, batch), perm)
+        return (params, opt_state, batch), jax.tree.map(jnp.mean, metrics)
+
+    def update(ts: TrainState):
+        ts, batch = rollout(env_cfg, ppo_cfg, ts)
+        key, k_epochs = jax.random.split(ts.key)
+        epoch_keys = jax.random.split(k_epochs, ppo_cfg.noptepochs)
+        (params, opt_state, _), metrics = jax.lax.scan(
+            train_epoch, (ts.params, ts.opt_state, batch), epoch_keys)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        # explained variance (logger parity, ppo2.py:424-435)
+        var_y = jnp.var(batch.returns)
+        metrics["explained_variance"] = 1.0 - jnp.var(batch.returns - batch.values) / (var_y + 1e-8)
+        metrics["ep_rew_mean"] = jnp.sum(batch.rewards) / jnp.maximum(
+            jnp.sum(batch.dones_before) + env_cfg.num_envs, 1)
+        metrics["reward_per_step"] = jnp.mean(batch.rewards)
+        ts = ts._replace(params=params, opt_state=opt_state, key=key,
+                         update_idx=ts.update_idx + 1)
+        return ts, metrics
+
+    return update
+
+
+def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
+          key: jax.Array, params: Optional[lstm.PolicyParams] = None,
+          eval_every_n: int = 100, callback=None, verbose: bool = True):
+    """Training loop (PPO2.learn parity: periodic eval hook + checkpointing
+    are the caller's callback, mirroring ppo2.py:331-341)."""
+    ts = init_train_state(env_cfg, ppo_cfg, key, params)
+    update_fn = jax.jit(make_update_fn(env_cfg, ppo_cfg))
+    batch_size = env_cfg.num_envs * ppo_cfg.n_steps
+    n_updates = max(1, total_timesteps // batch_size)
+    for i in range(n_updates):
+        t0 = time.time()
+        ts, metrics = update_fn(ts)
+        if verbose or callback:
+            metrics = {k: float(v) for k, v in
+                       jax.tree.map(lambda x: jax.device_get(x), metrics).items()}
+            metrics["fps"] = batch_size / max(time.time() - t0, 1e-9)
+            metrics["timesteps"] = (i + 1) * batch_size
+        if verbose:
+            print(f"update {i + 1}/{n_updates}: " +
+                  " ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
+        if callback is not None and (i % eval_every_n == 0 or i == n_updates - 1):
+            callback(ts, metrics)
+    return ts

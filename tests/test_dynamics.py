@@ -1,0 +1,135 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import dynamics as dyn
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import spatial as sp
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import terrain as tr
+
+
+def _rand_state(rng, z=0.6):
+    gc = np.zeros(19)
+    gc[:3] = [0.0, 0.0, z]
+    q = rng.normal(size=4); q /= np.linalg.norm(q)
+    gc[3:7] = q
+    gc[7:] = np.asarray(mdl.STAND_JOINT_POS) + rng.uniform(-0.3, 0.3, 12)
+    gv = rng.uniform(-1.0, 1.0, 18)
+    return jnp.asarray(gc), jnp.asarray(gv)
+
+
+def test_mass_matrix_spd(rng):
+    p = mdl.nominal_params()
+    gc, _ = _rand_state(rng)
+    M = np.asarray(dyn.mass_matrix(p, dyn.fk(p, gc)))
+    np.testing.assert_allclose(M, M.T, atol=1e-5)
+    assert np.linalg.eigvalsh(M).min() > 0
+
+
+def test_total_mass_in_linear_block(rng):
+    """The 3x3 linear-linear block of M must be total_mass * I."""
+    p = mdl.nominal_params()
+    gc, _ = _rand_state(rng)
+    M = np.asarray(dyn.mass_matrix(p, dyn.fk(p, gc)))
+    total = float(np.sum(np.asarray(p.mass)))
+    np.testing.assert_allclose(M[:3, :3], total * np.eye(3), atol=1e-5)
+    assert abs(total - 9.0) < 0.2  # ~9 kg robot (BASELINE.md)
+
+
+def test_kinetic_energy_consistency(rng):
+    """1/2 gv^T M gv equals the sum of per-body spatial kinetic energies."""
+    p = mdl.nominal_params()
+    gc, gv = _rand_state(rng)
+    kin = dyn.fk(p, gc)
+    M = dyn.mass_matrix(p, kin) - jnp.diag(jnp.concatenate([jnp.zeros(6), mdl.ROTOR_INERTIA_J]))
+    v = dyn.body_velocities(kin, gv)
+    I_sp = dyn.spatial_inertias(p, kin)
+    ke_bodies = 0.5 * jnp.einsum("bp,bpq,bq->", v, I_sp, v)
+    ke_joint = 0.5 * gv @ M @ gv
+    np.testing.assert_allclose(float(ke_joint), float(ke_bodies), rtol=1e-4)
+
+
+def test_gravity_vector(rng):
+    """h(q, 0) with no external force must equal -G^T m g (only gravity)."""
+    p = mdl.nominal_params()
+    gc, _ = _rand_state(rng)
+    h = np.asarray(dyn.nonlinearities(p, gc, jnp.zeros(18)))
+    total = float(np.sum(np.asarray(p.mass)))
+    # linear part: resisting gravity needs +mg in z
+    np.testing.assert_allclose(h[:3], [0.0, 0.0, 9.81 * total], rtol=1e-4)
+
+
+def test_free_fall(rng):
+    """No contact, no torque: com accelerates at exactly -g."""
+    p = mdl.nominal_params()
+    gc, _ = _rand_state(rng, z=5.0)
+    gv = jnp.zeros(18)
+    qdd, _ = dyn.forward_dynamics(p, gc, gv, jnp.zeros(12), jnp.zeros(6), tr.flat())
+    kin = dyn.fk(p, gc)
+    # com acceleration = linear qdd of base + contributions; with qd=0 and the
+    # generalized accel qdd, compute spatial accel of each body = S_masked qdd
+    a = np.einsum("pd,bd,d->bp", np.asarray(kin.S), np.asarray(mdl.ANC_MASK), np.asarray(qdd))
+    m = np.asarray(p.mass)
+    com = np.asarray(kin.com_w)
+    # acceleration of each body's com: a_lin(c) = a_vO + alpha x c (qd=0)
+    acc_com = a[:, 3:] + np.cross(a[:, :3], com)
+    com_acc = (m[:, None] * acc_com).sum(0) / m.sum()
+    np.testing.assert_allclose(com_acc, [0, 0, -9.81], atol=1e-3)
+
+
+def test_momentum_conservation_zero_gravity(rng):
+    """Internal joint torques cannot change total spatial momentum (g=0, no contact)."""
+    p = mdl.nominal_params()
+    gc, gv = _rand_state(rng, z=50.0)  # far above ground, no contact
+    tau = jnp.asarray(rng.uniform(-5, 5, 12))
+
+    def step(carry, _):
+        gc, gv = carry
+        kin = dyn.fk(p, gc)
+        # external force exactly cancelling gravity isolates internal dynamics
+        f_grav = sp.force_at_point(
+            jnp.broadcast_to(dyn.GRAVITY, (13, 3)) * p.mass[:, None], kin.com_w)
+        h = dyn.bias_forces(p, kin, gv, -f_grav)
+        M = dyn.mass_matrix(p, kin)
+        full_tau = jnp.concatenate([jnp.zeros(6), tau])
+        qdd = jnp.linalg.solve(M, full_tau - h)
+        gc2, gv2 = dyn.integrate(gc, gv, qdd, 1e-4)
+        return (gc2, gv2), None
+
+    def momentum(gc, gv):
+        kin = dyn.fk(p, gc)
+        v = dyn.body_velocities(kin, gv)
+        I_sp = dyn.spatial_inertias(p, kin)
+        return jnp.einsum("bpq,bq->p", I_sp, v)
+
+    m0 = np.asarray(momentum(gc, gv))
+    (gc2, gv2), _ = jax.lax.scan(step, (gc, gv), None, length=200)
+    m1 = np.asarray(momentum(gc2, gv2))
+    # rotor inertia terms are joint-local (not part of spatial momentum);
+    # tolerate their small exchange but total must stay close
+    np.testing.assert_allclose(m1, m0, atol=2e-2)
+
+
+def test_standing_equilibrium():
+    """PD control toward the stand pose settles near stand height without NaNs."""
+    p = mdl.nominal_params()
+    gc = mdl.stand_gc()
+    gc = gc.at[2].set(0.301)  # toe radius puts ground contact near z=0.30
+    gv = jnp.zeros(18)
+    kp, kd = 40.0, 1.0
+    target = jnp.asarray(mdl.STAND_JOINT_POS)
+
+    def substep(carry, _):
+        gc, gv = carry
+        tau = kp * (target - gc[7:]) - kd * gv[6:]
+        tau = jnp.clip(tau, -mdl.TORQUE_LIMIT_J, mdl.TORQUE_LIMIT_J)
+        qdd, _ = dyn.forward_dynamics(p, gc, gv, tau, jnp.zeros(6), tr.flat())
+        gc2, gv2 = dyn.integrate(gc, gv, qdd, 0.00025)
+        return (gc2, gv2), gc2[2]
+
+    (gc2, gv2), zs = jax.lax.scan(substep, (gc, gv), None, length=4000)  # 1 s
+    assert np.all(np.isfinite(np.asarray(gc2)))
+    z = float(gc2[2])
+    assert 0.25 < z < 0.33, f"settled z={z}"
+    # roughly still
+    assert float(jnp.abs(gv2).max()) < 0.5

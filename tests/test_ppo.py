@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo import ppo
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo.gae import advantages
+
+
+def numpy_gae(rewards, values, dones_after, last_value, gamma, lam):
+    """Oracle port of the reference's backward loop (ppo2.py:554-568)."""
+    T = rewards.shape[0]
+    advs = np.zeros_like(rewards)
+    last = 0.0
+    for t in reversed(range(T)):
+        nt = 1.0 - dones_after[t]
+        v_next = last_value if t == T - 1 else values[t + 1]
+        delta = rewards[t] + gamma * v_next * nt - values[t]
+        last = delta + gamma * lam * nt * last
+        advs[t] = last
+    return advs, advs + values
+
+
+def test_gae_matches_reference_loop(rng):
+    T, B = 20, 5
+    r = rng.normal(size=(T, B)).astype(np.float32)
+    v = rng.normal(size=(T, B)).astype(np.float32)
+    d = (rng.random((T, B)) < 0.15).astype(np.float32)
+    lv = rng.normal(size=B).astype(np.float32)
+    a, ret = advantages(jnp.asarray(r), jnp.asarray(v), jnp.asarray(d),
+                        jnp.asarray(lv), 0.99, 0.998)
+    a_np, ret_np = numpy_gae(r, v, d, lv, 0.99, 0.998)
+    np.testing.assert_allclose(np.asarray(a), a_np, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ret), ret_np, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    env_cfg = config.train_default().replace(
+        simulation_dt=0.001, num_envs=4, obs_noise=0.0, stochastic_dynamics=False)
+    ppo_cfg = ppo.PPOConfig(n_steps=6, noptepochs=2, nminibatches=2, n_lstm=(8, 8))
+    return env_cfg, ppo_cfg
+
+
+def test_single_update_runs(tiny):
+    env_cfg, ppo_cfg = tiny
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    update = jax.jit(ppo.make_update_fn(env_cfg, ppo_cfg))
+    ts2, metrics = update(ts)
+    for k in ("loss", "pg_loss", "vf_loss", "entropy", "approxkl", "clipfrac"):
+        assert np.isfinite(float(metrics[k])), k
+    assert int(ts2.update_idx) == 1
+    # params actually changed
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), ts.params, ts2.params)
+    assert max(jax.tree.leaves(d)) > 0.0
+
+
+def test_update_deterministic_given_key(tiny):
+    env_cfg, ppo_cfg = tiny
+    update = jax.jit(ppo.make_update_fn(env_cfg, ppo_cfg))
+    ts_a = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(7))
+    ts_b = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(7))
+    _, ma = update(ts_a)
+    _, mb = update(ts_b)
+    assert float(ma["loss"]) == float(mb["loss"])
+
+
+def test_ppo_loss_zero_advantage_gradient(tiny):
+    """With identical old/new params, ratio=1 and pg_loss = -mean(norm_adv) ~ 0."""
+    env_cfg, ppo_cfg = tiny
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(1))
+    ts2, batch = ppo.rollout(env_cfg, ppo_cfg, ts)
+    loss, aux = ppo.ppo_loss(ts.params, batch, ppo_cfg)
+    # same params that generated the rollout: ratio == 1, approxkl == 0
+    assert float(aux["approxkl"]) < 1e-9
+    assert float(aux["clipfrac"]) == 0.0
+    assert abs(float(aux["pg_loss"])) < 1e-6
