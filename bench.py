@@ -1,0 +1,99 @@
+"""Headline benchmark: batched trot-MPC solves/s/chip (+ env throughput).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Baseline = 1024 batched trot-MPC solves/s/chip (BASELINE.json north star).
+Run on the real TPU (leave JAX_PLATFORMS alone); set BENCH_SMALL=1 for a
+quick CPU smoke run.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _bench_mpc(batch: int, horizon: int, n_iter: int, repeats: int = 3):
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import trot
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+
+    cfg = config.test_default().replace(obs_noise=0.0)
+    mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=n_iter, model_substeps=2)
+    params = mdl.nominal_params(cfg)
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), params)
+
+    cmds = jnp.stack([jnp.array([1.0 + 3.0 * (i % 5) / 4.0, 0.0, 0.0])
+                      for i in range(batch)])
+    probs = jax.vmap(lambda c: trot.make_problem(
+        cfg, trot.standing_x0(cfg)[:19], jnp.zeros(18), c, jnp.asarray(0.0),
+        mpc_cfg.horizon))(cmds)
+
+    solve = jax.jit(lambda pr: trot.batched_solve(cfg, mpc_cfg, pb, pr).cost)
+    cost = solve(probs)
+    jax.block_until_ready(cost)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        cost = solve(probs)
+    jax.block_until_ready(cost)
+    dt = (time.perf_counter() - t0) / repeats
+    return batch / dt, float(jnp.mean(cost))
+
+
+def _bench_env(batch: int, n_steps: int, repeats: int = 3):
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
+
+    cfg = config.train_default().replace(num_envs=batch)
+    state = jax.jit(jax.vmap(lambda k: bp.env_init(cfg, k)))(
+        jax.random.split(jax.random.PRNGKey(0), batch))
+
+    def run(state):
+        def body(s, _):
+            out = jax.vmap(lambda ss, a: bp.step(cfg, ss, a))(s, jnp.zeros((batch, 12)))
+            return out.state, out.reward
+        s2, rews = jax.lax.scan(body, state, None, length=n_steps)
+        return s2, jnp.sum(rews)
+
+    run_j = jax.jit(run)
+    s2, tot = run_j(state)
+    jax.block_until_ready(tot)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        s2, tot = run_j(s2)
+    jax.block_until_ready(tot)
+    dt = (time.perf_counter() - t0) / repeats
+    return batch * n_steps / dt
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    mpc_batch = 64 if small else 1024
+    horizon = 10 if small else 50
+    n_iter = 2 if small else 8
+    env_batch = 64 if small else 4096
+    env_steps = 8 if small else 100
+
+    solves_per_s, mean_cost = _bench_mpc(mpc_batch, horizon, n_iter)
+    env_steps_per_s = _bench_env(env_batch, env_steps)
+
+    print(json.dumps({
+        "metric": "trot_mpc_solves_per_s_per_chip",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 1024.0, 4),
+        "extra": {
+            "mpc_batch": mpc_batch, "horizon": horizon, "n_iter": n_iter,
+            "mean_solution_cost": round(mean_cost, 3),
+            "env_steps_per_s_per_chip": round(env_steps_per_s, 1),
+            "env_batch": env_batch,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

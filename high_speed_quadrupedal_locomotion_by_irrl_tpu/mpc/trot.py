@@ -1,0 +1,109 @@
+"""Batched trot-MPC: iLQR over the BlackPanther dynamics tracking the Bezier
+gait reference — the BASELINE.json headline workload (1024+ solves/s/chip).
+
+The MPC's internal model is the same PD->torque-clamp->contact physics as the
+training env, with a configurable number of integration substeps per control
+knot (`model_substeps`): the full-fidelity env uses 8 x 0.25 ms
+(Environment.hpp:711); the MPC model defaults to 2 x 1 ms, the classic
+model-predictive fidelity/speed trade — derivatives flow through contact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.config import EnvConfig
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs.blackpanther import torque_clamp
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import cost as mcost
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import ilqr
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import dynamics as dyn
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import terrain as tr
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import gait
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    horizon: int = 50
+    n_iter: int = 8
+    model_substeps: int = 2
+    weights: mcost.CostWeights = dataclasses.field(default_factory=mcost.imitation_weights)
+
+
+class TrotProblem(NamedTuple):
+    x0: jnp.ndarray          # (37,) [gc; gv]
+    command: jnp.ndarray     # (3,)
+    t0: jnp.ndarray          # () gait clock at the first knot
+    joint_refs: jnp.ndarray  # (T, 12)
+    joint_dot_refs: jnp.ndarray  # (T, 12)
+
+
+def make_problem(cfg: EnvConfig, gc: jnp.ndarray, gv: jnp.ndarray,
+                 command: jnp.ndarray, t0: jnp.ndarray, horizon: int) -> TrotProblem:
+    ts = t0 + jnp.arange(horizon + 1) * cfg.control_dt
+    refs = jax.vmap(lambda t: gait.gait_reference(cfg, command, t).joint_ref)(ts)
+    jd = (refs[1:] - refs[:-1]) / cfg.control_dt
+    return TrotProblem(x0=jnp.concatenate([gc, gv]), command=command, t0=t0,
+                       joint_refs=refs[:-1], joint_dot_refs=jd)
+
+
+def make_dynamics(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams):
+    """Deterministic control-step dynamics x,u,t -> x' for the MPC model."""
+    sub_dt = cfg.control_dt / mpc_cfg.model_substeps
+    action_mean = mdl.stand_gc(cfg.abad)[7:]
+    gains = jnp.asarray([cfg.abad_ratio, 1.0, 1.0] * 4)
+    kp, kd = cfg.stiffness * gains, cfg.damping * gains
+    flat = tr.flat()
+
+    def step(x, u, t):
+        del t
+        ptarget = u + action_mean
+        def sub(carry, _):
+            gc, gv = carry
+            tau = kp * (ptarget - gc[7:]) - kd * gv[6:]
+            tau = torque_clamp(cfg, tau, gv[6:])
+            qdd, _ = dyn.forward_dynamics(params, gc, gv, tau, jnp.zeros(6),
+                                          flat, cfg.contact_slip_vel)
+            return dyn.integrate(gc, gv, qdd, sub_dt), None
+        (gc, gv), _ = jax.lax.scan(sub, (x[:19], x[19:]), None,
+                                   length=mpc_cfg.model_substeps)
+        return jnp.concatenate([gc, gv])
+
+    return step
+
+
+def solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams,
+          prob: TrotProblem) -> ilqr.ILQRResult:
+    dynamics = make_dynamics(cfg, mpc_cfg, params)
+    w = mpc_cfg.weights
+
+    def cost_fn(x, u, t):
+        jref = prob.joint_refs[t]
+        jdref = prob.joint_dot_refs[t]
+        return mcost.stage_cost(cfg, w, x, u, jref, jdref, prob.command)
+
+    def term_fn(x):
+        return mcost.terminal_cost(cfg, w, x, prob.joint_refs[-1], prob.command)
+
+    # warm start: track the joint reference directly (u = q_ref - stand pose)
+    u_init = prob.joint_refs - mdl.stand_gc(cfg.abad)[7:]
+    return ilqr.solve(dynamics, cost_fn, term_fn, prob.x0, u_init,
+                      n_iter=mpc_cfg.n_iter)
+
+
+def batched_solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params_batch: mdl.RobotParams,
+                  probs: TrotProblem) -> ilqr.ILQRResult:
+    """vmap over scenarios; params_batch may be per-scenario (domain-randomized)."""
+    return jax.vmap(functools.partial(solve, cfg, mpc_cfg))(params_batch, probs)
+
+
+def standing_x0(cfg: EnvConfig) -> jnp.ndarray:
+    """Stand pose with the toes just touching the ground (URDF chain puts the
+    toe centers 0.277 m under the base; contact at center height = toe radius)."""
+    gc = mdl.stand_gc(cfg.abad).at[2].set(0.304)
+    return jnp.concatenate([gc, jnp.zeros(18)])

@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import cost as mcost
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import ilqr, trot
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+
+
+def test_ilqr_solves_lqr_exactly():
+    """On a linear-quadratic problem iLQR must converge in one iteration to
+    the analytic LQR solution (double integrator to the origin)."""
+    dt = 0.1
+    A = jnp.array([[1.0, dt], [0.0, 1.0]])
+    B = jnp.array([[0.0], [dt]])
+    Q = jnp.eye(2)
+    Rm = jnp.eye(1) * 0.1
+
+    def dynamics(x, u, t):
+        return A @ x + B @ u
+
+    def cost_fn(x, u, t):
+        return x @ Q @ x + u @ Rm @ u
+
+    def term_fn(x):
+        return 10.0 * x @ x
+
+    x0 = jnp.array([1.0, 0.0])
+    res = ilqr.solve(dynamics, cost_fn, term_fn, x0, jnp.zeros((20, 1)), n_iter=3)
+    # cost strictly decreased and final state near origin
+    assert float(res.cost_trace[0]) <= float(_initial_cost(dynamics, cost_fn, term_fn, x0, 20))
+    assert float(res.cost) < 2.0
+    assert abs(float(res.xs[-1, 0])) < 0.05
+    # iteration 2+ changes nothing (already optimal for an LQR)
+    assert abs(float(res.cost_trace[1]) - float(res.cost_trace[-1])) < 1e-5
+
+
+def _initial_cost(dynamics, cost_fn, term_fn, x0, T):
+    xs = [x0]
+    for t in range(T):
+        xs.append(dynamics(xs[-1], jnp.zeros(1), t))
+    c = sum(float(cost_fn(x, jnp.zeros(1), t)) for t, x in enumerate(xs[:-1]))
+    return c + float(term_fn(xs[-1]))
+
+
+def test_ilqr_pendulum_swing_stabilize():
+    """Nonlinear sanity: damped pendulum driven to upright."""
+    dt = 0.05
+
+    def dynamics(x, u, t):
+        th, w = x
+        wdot = -9.81 * jnp.sin(th) - 0.2 * w + u[0]
+        return jnp.array([th + dt * (w + dt * wdot), w + dt * wdot])
+
+    def cost_fn(x, u, t):
+        return 5.0 * (x[0] - jnp.pi) ** 2 + 0.1 * x[1] ** 2 + 0.01 * u[0] ** 2
+
+    def term_fn(x):
+        return 50.0 * (x[0] - jnp.pi) ** 2 + 1.0 * x[1] ** 2
+
+    x0 = jnp.array([2.6, 0.0])  # start near upright basin
+    res = ilqr.solve(dynamics, cost_fn, term_fn, x0, jnp.zeros((40, 1)), n_iter=15)
+    assert abs(float(res.xs[-1, 0]) - np.pi) < 0.1
+    # monotone non-increasing cost trace
+    tr_ = np.asarray(res.cost_trace)
+    assert np.all(np.diff(tr_) <= 1e-5)
+
+
+@pytest.fixture(scope="module")
+def trot_setup():
+    cfg = config.test_default().replace(obs_noise=0.0)
+    mpc_cfg = trot.MPCConfig(horizon=10, n_iter=3, model_substeps=1)
+    params = mdl.nominal_params(cfg)
+    return cfg, mpc_cfg, params
+
+
+def test_trot_mpc_reduces_cost(trot_setup):
+    cfg, mpc_cfg, params = trot_setup
+    prob = trot.make_problem(cfg, trot.standing_x0(cfg)[:19], jnp.zeros(18),
+                             jnp.array([1.0, 0.0, 0.0]), jnp.asarray(0.0),
+                             mpc_cfg.horizon)
+    res = jax.jit(lambda p: trot.solve(cfg, mpc_cfg, params, p))(prob)
+    tr_ = np.asarray(res.cost_trace)
+    assert np.all(np.isfinite(tr_))
+    assert tr_[-1] <= tr_[0] + 1e-6
+    assert np.all(np.isfinite(np.asarray(res.us)))
+
+
+def test_trot_mpc_batched(trot_setup):
+    cfg, mpc_cfg, params = trot_setup
+    B = 3
+    cmds = jnp.stack([jnp.array([v, 0.0, 0.0]) for v in (0.5, 1.0, 2.0)])
+    probs = jax.vmap(lambda c: trot.make_problem(
+        cfg, trot.standing_x0(cfg)[:19], jnp.zeros(18), c, jnp.asarray(0.0),
+        mpc_cfg.horizon))(cmds)
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+    res = jax.jit(lambda pr: trot.batched_solve(cfg, mpc_cfg, pb, pr))(probs)
+    assert res.us.shape == (B, mpc_cfg.horizon, 12)
+    assert np.all(np.isfinite(np.asarray(res.cost)))
