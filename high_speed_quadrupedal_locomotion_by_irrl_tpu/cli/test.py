@@ -1,0 +1,99 @@
+"""Deployment / evaluation entry point (run_bp_v5.py test-branch parity).
+
+  python -m high_speed_quadrupedal_locomotion_by_irrl_tpu.cli.test \
+      --model /root/reference/IRRL/script/model/bp5_155 \
+      --eval --wc --torque --ss --delay 0,1,2,5 --vx 2.0
+
+Each flag maps to one analysis mode of the reference driver (--eval tracking
+run_bp_v5.py:738-818, --wc :916-1030, --torque :846-914, --ss :520-662,
+--delay latency sweep :360-365, correlation heatmaps :1032-1088); results
+print as tables and optionally dump .npy (--save-data, :481-511).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu import config as cfg_mod
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import eval as ev
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import io as mio
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="IRRL-TPU evaluation")
+    p.add_argument("--model", type=str, required=True,
+                   help="bp5 CSV dir or checkpoint .pkl")
+    p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--vx", type=float, default=1.0)
+    p.add_argument("--commands", type=str, default="1,2,3,4,5")
+    p.add_argument("--steps", type=int, default=750)
+    p.add_argument("--eval", action="store_true", help="velocity tracking eval")
+    p.add_argument("--wc", action="store_true", help="motor work-condition envelope")
+    p.add_argument("--torque", action="store_true", help="torque/power + TCoT")
+    p.add_argument("--ss", action="store_true", help="state-space portraits")
+    p.add_argument("--corr", action="store_true", help="LSTM state correlation")
+    p.add_argument("--delay", type=str, default=None,
+                   help="comma-separated latency sweep in control steps")
+    p.add_argument("--save-data", type=str, default=None, help="npy dump dir")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    cfg = cfg_mod.from_yaml(args.cfg) if args.cfg else cfg_mod.test_default()
+    if os.path.isdir(args.model):
+        params = mio.load_bp5_csv(args.model)
+    else:
+        tree, _ = mio.load_checkpoint(args.model)
+        params = tree[0]
+    key = jax.random.PRNGKey(cfg.seed)
+    results = {}
+
+    if args.eval:
+        cmds = [float(c) for c in args.commands.split(",")]
+        results["tracking"] = ev.tracking_eval(cfg, params, cmds, key, args.steps)
+        for r in results["tracking"]:
+            print(f"cmd {r['command']:.1f} m/s -> v {r['v_mean']:+.2f} "
+                  f"(err {r['err_mean']:+.3f} +- {r['err_std']:.3f})")
+    if args.torque:
+        tp = ev.torque_power(cfg, params, args.vx, key, args.steps)
+        results["torque_power"] = {k: v for k, v in tp.items()
+                                   if not isinstance(v, np.ndarray)}
+        print(f"vx {args.vx}: mean power {tp['mean_power']:.1f} W, TCoT {tp['tcot']:.3f}")
+    if args.wc:
+        wc = ev.work_condition(cfg, params, args.vx, key, args.steps)
+        results["work_condition"] = {"violation_rate": wc["violation_rate"]}
+        print(f"motor envelope violation rate: {wc['violation_rate']:.4f}")
+    if args.ss:
+        ss = ev.state_space(cfg, params, args.vx, key, args.steps)
+        results["state_space"] = {"q_range": [float(ss['q'].min()), float(ss['q'].max())]}
+        print(f"state-space q range: {results['state_space']['q_range']}")
+        if args.save_data:
+            os.makedirs(args.save_data, exist_ok=True)
+            np.save(os.path.join(args.save_data, "state_space_q.npy"), ss["q"])
+            np.save(os.path.join(args.save_data, "state_space_qd.npy"), ss["qd"])
+    if args.corr:
+        corr = ev.lstm_state_correlation(cfg, params, args.vx, key, args.steps)
+        results["lstm_corr_mean_abs"] = float(np.abs(corr).mean())
+        print(f"LSTM state |corr| mean: {results['lstm_corr_mean_abs']:.3f}")
+    if args.delay:
+        delays = [int(d) for d in args.delay.split(",")]
+        results["latency"] = ev.latency_sweep(cfg, params, args.vx, delays, key, args.steps)
+        for r in results["latency"]:
+            print(f"latency {r['latency_ms']:.1f} ms -> v {r['v_mean']:+.2f} "
+                  f"(survival {r['survival']:.2f})")
+    if args.save_data:
+        os.makedirs(args.save_data, exist_ok=True)
+        with open(os.path.join(args.save_data, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+if __name__ == "__main__":
+    main()

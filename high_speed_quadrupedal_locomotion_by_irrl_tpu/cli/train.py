@@ -1,0 +1,96 @@
+"""Training / relaxation entry point.
+
+CLI parity with the reference's train branch (run_bp_v5.py:209-259):
+
+  imitation:  python -m high_speed_quadrupedal_locomotion_by_irrl_tpu.cli.train \
+                  --cfg configs/bp5_train.yaml --lr 1e-3 --max-iter 200000000
+  relaxation: ... --load runs/<stamp>/ckpt_final.pkl --lr 5e-4
+              (edit the reward coefficients in the YAML, readme.md:64-75)
+
+Checkpoints include optimizer state (unlike PPO2.save, ppo2.py:452-476) and a
+bp5-format CSV export for the dependency-free deployment path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu import config as cfg_mod
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo import ppo
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import io as mio
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.parallel import mesh as pmesh
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.parallel import train as ptrain
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils.run_dir import make_run_dir
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="IRRL-TPU PPO training")
+    p.add_argument("--cfg", type=str, default=None, help="environment YAML")
+    p.add_argument("--lr", "--l", type=float, default=1e-3, dest="lr")
+    p.add_argument("--max-iter", type=int, default=200_000_000,
+                   help="total env steps (reference --max_iter)")
+    p.add_argument("--load", type=str, default=None,
+                   help="checkpoint .pkl or bp5 CSV dir to warm-start (relaxation)")
+    p.add_argument("--log-dir", type=str, default="runs")
+    p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--num-envs", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="shard the env batch over all local devices")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    env_cfg = cfg_mod.from_yaml(args.cfg) if args.cfg else cfg_mod.train_default()
+    if args.seed is not None:
+        env_cfg = env_cfg.replace(seed=args.seed)
+    if args.num_envs is not None:
+        env_cfg = env_cfg.replace(num_envs=args.num_envs)
+    ppo_cfg = ppo.PPOConfig(learning_rate=args.lr, n_steps=env_cfg.episode_len)
+
+    params = None
+    if args.load:
+        if os.path.isdir(args.load):
+            params = mio.load_bp5_csv(args.load)
+        else:
+            tree, _step = mio.load_checkpoint(args.load)
+            params = tree[0]  # (params, opt_state) tuple
+
+    run_dir = make_run_dir(args.log_dir, env_cfg, [args.cfg] if args.cfg else [])
+    print(f"run dir: {run_dir}")
+
+    def callback(ts: ppo.TrainState, metrics):
+        step = int(ts.update_idx)
+        mio.save_checkpoint(os.path.join(run_dir, f"ckpt_{step}.pkl"),
+                            (ts.params, ts.opt_state), step)
+        mio.save_bp5_csv(ts.params, os.path.join(run_dir, f"csv_{step}"))
+
+    key = jax.random.PRNGKey(env_cfg.seed)
+    if args.distributed:
+        mesh = pmesh.make_mesh()
+        ts = ppo.init_train_state(env_cfg, ppo_cfg, key, params)
+        ts = ptrain.shard_train_state(mesh, ts)
+        update = ptrain.make_distributed_update(env_cfg, ppo_cfg, mesh)
+        batch = env_cfg.num_envs * ppo_cfg.n_steps
+        for i in range(max(1, args.max_iter // batch)):
+            ts, metrics = update(ts)
+            print(f"update {i}: loss={float(metrics['loss']):.4g} "
+                  f"rew/step={float(metrics['reward_per_step']):.4g}")
+            if i % args.eval_every == 0:
+                callback(ts, metrics)
+    else:
+        ts = ppo.learn(env_cfg, ppo_cfg, args.max_iter, key, params,
+                       eval_every_n=args.eval_every, callback=callback)
+    mio.save_checkpoint(os.path.join(run_dir, "ckpt_final.pkl"),
+                        (ts.params, ts.opt_state), int(ts.update_idx))
+    mio.save_bp5_csv(ts.params, os.path.join(run_dir, "csv_final"))
+    return run_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,7 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys.model import (
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils.rotation import (
     quat_integrate, quat_to_matrix,
 )
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.ops import linalg as _linalg
 
 GRAVITY = jnp.array([0.0, 0.0, -9.81])
 
@@ -214,7 +215,10 @@ def forward_dynamics(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
     h = bias_forces(params, kin, gv, f_ext)
     M = mass_matrix(params, kin)
     tau = jnp.concatenate([jnp.zeros(6), tau_joint - JOINT_DAMPING * gv[6:]])
-    qdd = jnp.linalg.solve(M, tau - h)
+    # unrolled SPD solve: every scalar step vectorizes across the env batch
+    # under vmap (ops.linalg notes) — much faster than LAPACK-shaped solves
+    # for (B, 18, 18) on TPU
+    qdd = _linalg.solve_spd(M, tau - h)
     diag = StepDiagnostics(toe_pos=kin.toe_pos, toe_vel=toe_vel,
                            toe_force_norm=toe_force_norm, toe_normal_force=toe_fn,
                            torque=tau_joint)

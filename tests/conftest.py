@@ -1,16 +1,22 @@
-"""Test harness: force an 8-virtual-device CPU backend before JAX loads.
+"""Test harness: force an 8-virtual-device CPU backend before JAX initializes.
 
 Multi-chip sharding tests (tests/test_parallel.py) need several devices; the
 CI/dev box has at most one real chip, so every test runs on a virtual CPU mesh
-(the same mechanism the driver uses for dryrun_multichip).
+(the same mechanism the driver uses for dryrun_multichip). NOTE: this box
+pre-registers an 'axon' TPU plugin that ignores the JAX_PLATFORMS env var, so
+the platform must also be pinned via jax.config before first backend use.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override (the box pre-sets axon/TPU)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

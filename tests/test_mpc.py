@@ -28,13 +28,19 @@ def test_ilqr_solves_lqr_exactly():
         return 10.0 * x @ x
 
     x0 = jnp.array([1.0, 0.0])
-    res = ilqr.solve(dynamics, cost_fn, term_fn, x0, jnp.zeros((20, 1)), n_iter=3)
-    # cost strictly decreased and final state near origin
-    assert float(res.cost_trace[0]) <= float(_initial_cost(dynamics, cost_fn, term_fn, x0, 20))
-    assert float(res.cost) < 2.0
-    assert abs(float(res.xs[-1, 0])) < 0.05
-    # iteration 2+ changes nothing (already optimal for an LQR)
-    assert abs(float(res.cost_trace[1]) - float(res.cost_trace[-1])) < 1e-5
+    T = 20
+    res = ilqr.solve(dynamics, cost_fn, term_fn, x0, jnp.zeros((T, 1)), n_iter=3)
+    # exact finite-horizon LQR optimum via backward Riccati (numpy oracle)
+    A_, B_, Q_, R_ = map(np.asarray, (A, B, Q, Rm))
+    P = 10.0 * np.eye(2)
+    for _ in range(T):
+        K = np.linalg.solve(R_ + B_.T @ P @ B_, B_.T @ P @ A_)
+        P = Q_ + A_.T @ P @ (A_ - B_ @ K)
+    opt = float(np.array([1.0, 0.0]) @ P @ np.array([1.0, 0.0]))
+    assert float(res.cost_trace[0]) <= float(_initial_cost(dynamics, cost_fn, term_fn, x0, T))
+    np.testing.assert_allclose(float(res.cost), opt, rtol=1e-2)
+    # iteration 2+ changes (almost) nothing: LQR is solved in one pass
+    assert abs(float(res.cost_trace[1]) - float(res.cost_trace[-1])) < 1e-4 * opt
 
 
 def _initial_cost(dynamics, cost_fn, term_fn, x0, T):

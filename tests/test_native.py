@@ -1,0 +1,62 @@
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import native
+
+
+def test_load_table_csv(tmp_path, rng):
+    want = rng.normal(size=(37, 5)).astype(np.float32)
+    p = tmp_path / "t.csv"
+    np.savetxt(p, want, delimiter=",", fmt="%.6f")
+    got = native.load_table(str(p))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_load_table_whitespace(tmp_path, rng):
+    want = rng.normal(size=(11, 28)).astype(np.float32)
+    p = tmp_path / "t.txt"
+    np.savetxt(p, want, delimiter=" ", fmt="%.6f")
+    got = native.load_table(str(p))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_load_reference_trot_table():
+    ref = "/root/reference/Exp_Raw_Data/trot_ref_.csv"
+    if not os.path.exists(ref):
+        pytest.skip("reference data not present")
+    t = native.load_table(ref)
+    assert t.shape == (10000, 28)  # 10001 lines = header + 10000 frames x 28 cols
+    assert abs(float(t[0, 1]) - 0.28) < 1e-6  # z column
+
+
+def test_resample_linear():
+    table = np.arange(10, dtype=np.float32)[:, None]
+    out = native.resample(table, dt_in=1.0, n_out=19, dt_out=0.5)
+    np.testing.assert_allclose(out[:, 0], np.arange(19) * 0.5, atol=1e-5)
+
+
+def test_telemetry_ring_roundtrip(rng):
+    ring = native.TelemetryRing(capacity=16, record_size=4)
+    recs = rng.normal(size=(10, 4)).astype(np.float32)
+    for r in recs:
+        assert ring.push(r)
+    got = ring.pop()
+    np.testing.assert_allclose(got, recs, atol=1e-6)
+    assert ring.dropped == 0
+
+
+def test_telemetry_ring_overflow(rng):
+    ring = native.TelemetryRing(capacity=4, record_size=2)
+    for i in range(6):
+        ring.push(np.full(2, i, np.float32))
+    assert ring.dropped == 2
+    got = ring.pop()
+    assert got.shape == (4, 2)
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no toolchain")
+def test_native_library_builds():
+    assert native.native_available(), "native runtime failed to build"
