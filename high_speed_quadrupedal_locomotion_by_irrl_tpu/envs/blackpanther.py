@@ -75,6 +75,13 @@ class EnvState(NamedTuple):
     ep_return: jnp.ndarray          # ()
     ep_len: jnp.ndarray             # () int32
     reward_terms: jnp.ndarray       # (8,) [EE, BodyPos, BodyAtti, J, Jdot, Vel, Torque, Contact]
+    # meteorite-attack curriculum (crucial learning, Environment.hpp:815-861);
+    # zero-size arrays when cfg.crucial is off
+    cube_pos: jnp.ndarray           # (C, 3)
+    cube_vel: jnp.ndarray           # (C, 3)
+    cube_radius: jnp.ndarray        # ()
+    cube_mass: jnp.ndarray          # ()
+    cube_active: jnp.ndarray        # () bool — spheres are dynamic (attacking)
 
 
 class StepOut(NamedTuple):
@@ -165,18 +172,34 @@ def _resample_command(cfg: EnvConfig, key: jax.Array, command: jnp.ndarray,
     return jnp.where(trigger, new, command)
 
 
+class RefUpdate(NamedTuple):
+    command: jnp.ndarray
+    command_filtered: jnp.ndarray
+    joint_ref: jnp.ndarray
+    joint_dot_ref: jnp.ndarray
+    ee_ref: jnp.ndarray
+    phase: jnp.ndarray | None   # (2,) table-provided phase obs, or None
+
+
 def _update_references(cfg: EnvConfig, key: jax.Array, command: jnp.ndarray,
                        command_filtered: jnp.ndarray, joint_ref_prev: jnp.ndarray,
-                       t: jnp.ndarray, is_reset: bool):
-    """command_obs_update(flag_reset) for the ManualTraj mode.
-
-    Returns (command, command_filtered, GaitRef, joint_ref_last_for_dot).
-    """
+                       joint_dot_prev: jnp.ndarray, t: jnp.ndarray,
+                       frame_idx: jnp.ndarray, is_reset: bool,
+                       ref_table: jnp.ndarray | None = None) -> RefUpdate:
+    """command_obs_update(flag_reset): online Bezier references (ManualTraj,
+    Environment.hpp:1024-1099) or table lookup (RefTraj mode, :1100-1107
+    with gait_generator :1664-1682 — theta 0:12 | theta_dot 12:24 | z 24 |
+    phase 25:27 | cmd 27:30)."""
     if cfg.manual:
         # manual mode: commands injected by the driver; references frozen
-        ref = gait.GaitRef(joint_ref=joint_ref_prev, toe=jnp.zeros((4, 3)),
-                           ee_ref=jnp.zeros(12))
-        return command, command_filtered, ref, joint_ref_prev
+        return RefUpdate(command, command_filtered, joint_ref_prev,
+                         joint_dot_prev, jnp.zeros(12), None)
+
+    if not cfg.manual_traj and ref_table is not None:
+        row = ref_table[jnp.clip(frame_idx, 0, ref_table.shape[0] - 1)]
+        return RefUpdate(command=command, command_filtered=row[27:30],
+                         joint_ref=row[0:12], joint_dot_ref=row[12:24],
+                         ee_ref=jnp.zeros(12), phase=row[25:27])
 
     command = _resample_command(cfg, key, command, jnp.asarray(is_reset))
     if is_reset:
@@ -187,22 +210,28 @@ def _update_references(cfg: EnvConfig, key: jax.Array, command: jnp.ndarray,
     ref = gait.gait_reference(cfg, command_filtered, t)
     if is_reset:
         # jointRefLast from t - dt so jointDotRef is well-defined at reset
-        ref_last = gait.gait_reference(cfg, command_filtered, t - cfg.control_dt)
-        joint_ref_last = ref_last.joint_ref
+        joint_ref_last = gait.gait_reference(cfg, command_filtered,
+                                             t - cfg.control_dt).joint_ref
     else:
         joint_ref_last = joint_ref_prev
-    return command, command_filtered, ref, joint_ref_last
+    joint_dot_ref = (ref.joint_ref - joint_ref_last) / cfg.control_dt
+    return RefUpdate(command, command_filtered, ref.joint_ref, joint_dot_ref,
+                     ref.ee_ref, None)
 
 
 # --- observation (updateObservation, Environment.hpp:956-1004) ---------------
 
 def _raw_observation(cfg: EnvConfig, key: jax.Array, gc: jnp.ndarray, gv: jnp.ndarray,
-                     command_filtered: jnp.ndarray, t: jnp.ndarray):
+                     command_filtered: jnp.ndarray, t: jnp.ndarray,
+                     phase_override: jnp.ndarray | None = None):
     """Unnormalized 35-d obs with sensor noise; also returns body-frame vels."""
     kj, kv, kp, kw = jax.random.split(key, 4)
     nf = cfg.obs_noise
-    phase = jnp.array([jnp.sin(_TWO_PI * t / cfg.period),
-                       jnp.cos(_TWO_PI * t / cfg.period)])
+    if phase_override is not None:  # RefTraj table phase (Environment.hpp:972)
+        phase = phase_override
+    else:
+        phase = jnp.array([jnp.sin(_TWO_PI * t / cfg.period),
+                           jnp.cos(_TWO_PI * t / cfg.period)])
     joints = gc[7:] + jax.random.uniform(kj, (12,), minval=-1.0, maxval=1.0) * cfg.joint_noise * nf
     joint_vel = gv[6:] + jax.random.uniform(kv, (12,), minval=-1.0, maxval=1.0) * cfg.joint_velocity_noise * nf
     R = quat_to_matrix(gc[3:7])
@@ -265,6 +294,53 @@ def deep_mimic_reward(cfg: EnvConfig, t: jnp.ndarray, gc: jnp.ndarray, gv: jnp.n
 
 # --- disturbances (Environment.hpp:866-940) ----------------------------------
 
+def _circle_place(radius: float, num: int) -> jnp.ndarray:
+    """(num, 3) ring positions at z=1 (circle_place, Environment.hpp:61-66)."""
+    idx = np.arange(num)
+    ang = idx / max(num, 1) * 2.0 * np.pi
+    return jnp.asarray(np.stack([radius * np.sin(ang), radius * np.cos(ang),
+                                 np.ones(num)], axis=-1))
+
+
+def _cube_ring_reset(cfg: EnvConfig, gc: jnp.ndarray, t: jnp.ndarray):
+    """Re-spawn the attack spheres around the robot; size/mass grow with
+    episode time (meteoriteAttack reset branch, Environment.hpp:827-841)."""
+    pos = _circle_place(cfg.cube_place_radius, cfg.num_cube)
+    pos = pos + jnp.array([gc[0] + 0.05, gc[1], gc[2]])
+    radius = (t / 5.0 + 1.0) * cfg.cube_len
+    mass = t / 5.0 + 0.2
+    return pos, jnp.zeros((cfg.num_cube, 3)), radius, mass
+
+
+def _sphere_robot_forces(cfg: EnvConfig, gc: jnp.ndarray, cube_pos, cube_vel,
+                         radius, mass, tp):
+    """Sphere <-> ground and sphere <-> body-box contact; returns
+    (sphere accelerations (C,3), reaction wrench on base (6,))."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import contact as _ct
+    kn, dn = 5e4, 100.0
+    # ground contact
+    f_ground, _ = _ct.point_contact_force(cube_pos, cube_vel, radius, tp,
+                                          kn, dn, 0.6, cfg.contact_slip_vel)
+    # body-box contact: closest point on the box (body frame) to sphere center
+    R = quat_to_matrix(gc[3:7])
+    rel = jnp.einsum("ji,cj->ci", R, cube_pos - gc[:3])
+    half = jnp.asarray(mdl.BODY_BOX_HALF)
+    closest = jnp.clip(rel, -half, half)
+    delta = rel - closest
+    dist = jnp.linalg.norm(delta, axis=-1)
+    pen = jnp.maximum(radius - dist, 0.0)
+    n_body = delta / jnp.maximum(dist, 1e-6)[:, None]
+    n_world = jnp.einsum("ij,cj->ci", R, n_body)
+    f_box = (kn * pen)[:, None] * n_world            # on the sphere, world frame
+    f_total = f_ground + f_box
+    acc = f_total / jnp.maximum(mass, 1e-6) + jnp.array([0.0, 0.0, -9.81])
+    # reaction on the robot base: -f_box at the contact points
+    contact_world = gc[:3] + jnp.einsum("ij,cj->ci", R, closest)
+    torque = jnp.sum(jnp.cross(contact_world - gc[:3], -f_box), axis=0)
+    force = jnp.sum(-f_box, axis=0)
+    return acc, jnp.concatenate([force, torque])
+
+
 def _force_attack(cfg: EnvConfig, key: jax.Array) -> jnp.ndarray:
     """Random base wrench, ~2 impulses per episode when enabled.
 
@@ -281,11 +357,14 @@ def _force_attack(cfg: EnvConfig, key: jax.Array) -> jnp.ndarray:
 
 # --- reset --------------------------------------------------------------------
 
-def env_init(cfg: EnvConfig, key: jax.Array) -> EnvState:
+def env_init(cfg: EnvConfig, key: jax.Array,
+             ref_table: jnp.ndarray | None = None) -> EnvState:
     """Construction-time state: domain randomization + terrain + first reset.
 
     Mirrors the ENVIRONMENT constructor followed by reset()
-    (VectorizedEnvironment.hpp:172-182).
+    (VectorizedEnvironment.hpp:172-182). ref_table: optional (N, 30) RefTraj
+    table shared by all envs (broadcast under vmap as a closed-over constant,
+    the analog of VectorizedEnvironment::set_ref, :158-182).
     """
     k_dr, k_tr, k_reset = jax.random.split(key, 3)
     params = (mdl.randomize(k_dr, cfg) if cfg.stochastic_dynamics
@@ -305,8 +384,12 @@ def env_init(cfg: EnvConfig, key: jax.Array) -> EnvState:
         obs_double=jnp.zeros(OBS_DIM), obs_last=jnp.zeros(OBS_DIM),
         done=jnp.zeros((), bool), ep_return=zero, ep_len=jnp.zeros((), jnp.int32),
         reward_terms=jnp.zeros(8),
+        cube_pos=jnp.zeros((cfg.num_cube if cfg.crucial else 0, 3)),
+        cube_vel=jnp.zeros((cfg.num_cube if cfg.crucial else 0, 3)),
+        cube_radius=jnp.asarray(cfg.cube_len), cube_mass=jnp.asarray(cfg.cube_mass),
+        cube_active=jnp.zeros((), bool),
     )
-    return reset(cfg, blank)
+    return reset(cfg, blank, ref_table)
 
 
 def _init_joint_ref(cfg: EnvConfig) -> jnp.ndarray:
@@ -314,7 +397,14 @@ def _init_joint_ref(cfg: EnvConfig) -> jnp.ndarray:
     return sign * cfg.abad
 
 
-def reset(cfg: EnvConfig, state: EnvState) -> EnvState:
+def _sampling_reshape(ratio: jnp.ndarray) -> jnp.ndarray:
+    """Density-reshaped episode-start sampling (Environment.hpp:71-81)."""
+    return jnp.where((ratio < 0.5) & (ratio > 0.0),
+                     ratio * 4.0 / 3.0, (2.0 * ratio + 1.0) / 3.0)
+
+
+def reset(cfg: EnvConfig, state: EnvState,
+          ref_table: jnp.ndarray | None = None) -> EnvState:
     """reset() (Environment.hpp:547-635): random phase start, command resample,
     joint pose/vel perturbed +-30% around the gait reference, base velocity
     seeded from the command +-20%, random xy +-5 m. Dynamics params and the raw
@@ -322,15 +412,25 @@ def reset(cfg: EnvConfig, state: EnvState) -> EnvState:
     key, k_t, k_cmd, k_jp, k_jv, k_bv, k_xy, k_obs = jax.random.split(state.key, 8)
 
     t0 = jnp.where(cfg.manual, 0.0, jax.random.uniform(k_t))
-    command, command_filtered, ref, joint_ref_last = _update_references(
-        cfg, k_cmd, state.command, jnp.zeros(3), state.joint_ref, t0, is_reset=True)
-    joint_dot_ref = (ref.joint_ref - joint_ref_last) / cfg.control_dt
+    if ref_table is not None and not cfg.manual_traj:
+        frame_max = ref_table.shape[0]
+        frame_len = cfg.episode_len
+        f0 = ((frame_max - frame_len - 10)
+              * _sampling_reshape(jax.random.uniform(k_t))).astype(jnp.int32)
+        frame0 = jnp.where(cfg.manual, 0, jnp.maximum(f0, 0))
+    else:
+        frame0 = jnp.zeros((), jnp.int32)
+
+    upd = _update_references(
+        cfg, k_cmd, state.command, jnp.zeros(3), state.joint_ref,
+        state.joint_dot_ref, t0, frame0, is_reset=True, ref_table=ref_table)
+    command, command_filtered = upd.command, upd.command_filtered
 
     jp_noise = jax.random.uniform(k_jp, (12,), minval=-1.0, maxval=1.0)
     jv_noise = jax.random.uniform(k_jv, (12,), minval=-1.0, maxval=1.0)
     bv_noise = jax.random.uniform(k_bv, (3,), minval=-1.0, maxval=1.0)
-    q0 = ref.joint_ref * (1.0 + 0.3 * jp_noise)
-    qd0 = joint_dot_ref * (1.0 + 0.3 * jv_noise)
+    q0 = upd.joint_ref * (1.0 + 0.3 * jp_noise)
+    qd0 = upd.joint_dot_ref * (1.0 + 0.3 * jv_noise)
     vx = command_filtered[0] * (0.2 * bv_noise[0] + 1.0)
     vx = jnp.where(cfg.wildcat, -vx, vx)
     vy = command_filtered[1] * (0.2 * bv_noise[1] + 1.0)
@@ -344,23 +444,31 @@ def reset(cfg: EnvConfig, state: EnvState) -> EnvState:
     gv = jnp.concatenate([jnp.array([vx, vy, 0.0, 0.0, 0.0, wz]), qd0])
     gv = jnp.where(cfg.manual, jnp.zeros(18), gv)
 
-    obs, v_body, w_body, R = _raw_observation(cfg, k_obs, gc, gv, command_filtered, t0)
+    obs, v_body, w_body, R = _raw_observation(cfg, k_obs, gc, gv, command_filtered,
+                                              t0, upd.phase)
 
     # post-obs reference regeneration (command_obs_update(false) at reset tail)
     key, k_cmd2 = jax.random.split(key)
-    command, command_filtered, ref2, joint_ref_last2 = _update_references(
-        cfg, k_cmd2, command, command_filtered, ref.joint_ref, t0, is_reset=False)
-    joint_dot_ref = (ref2.joint_ref - joint_ref_last2) / cfg.control_dt
+    upd2 = _update_references(
+        cfg, k_cmd2, command, command_filtered, upd.joint_ref, upd.joint_dot_ref,
+        t0, frame0, is_reset=False, ref_table=ref_table)
+    command, command_filtered = upd2.command, upd2.command_filtered
     obs = obs.at[:3].set(command_filtered)
+
+    if cfg.crucial:  # re-spawn the attack ring (meteoriteAttack(true), :608-612)
+        cube_pos, cube_vel, cube_radius, cube_mass = _cube_ring_reset(cfg, gc, t0)
+        state = state._replace(cube_pos=cube_pos, cube_vel=cube_vel,
+                               cube_radius=cube_radius, cube_mass=cube_mass,
+                               cube_active=jnp.zeros((), bool))
 
     return state._replace(
         gc=gc, gv=gv, key=key,
         torque_norm_last=jnp.zeros(12), torque_applied=jnp.zeros(12),
         base_wrench=jnp.zeros(6),
         command=command, command_filtered=command_filtered,
-        joint_ref=ref2.joint_ref, joint_ref_last=ref2.joint_ref,
-        joint_dot_ref=joint_dot_ref, ee_ref=ref2.ee_ref,
-        current_time=t0 + cfg.control_dt, frame_idx=jnp.ones((), jnp.int32),
+        joint_ref=upd2.joint_ref, joint_ref_last=upd2.joint_ref,
+        joint_dot_ref=upd2.joint_dot_ref, ee_ref=upd2.ee_ref,
+        current_time=t0 + cfg.control_dt, frame_idx=frame0 + 1,
         contact_filtered=jnp.zeros(4), contact_force_norm=jnp.zeros(4),
         contact_vel_norm=jnp.zeros(4),
         obs_double=obs, obs_last=obs,
@@ -371,7 +479,8 @@ def reset(cfg: EnvConfig, state: EnvState) -> EnvState:
 
 # --- step ----------------------------------------------------------------------
 
-def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray) -> StepOut:
+def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
+         ref_table: jnp.ndarray | None = None) -> StepOut:
     """One control step (= cfg.substeps physics substeps) with auto-reset."""
     key, k_act, k_cmd, k_obs, k_attack, k_reset = jax.random.split(state.key, 6)
 
@@ -387,6 +496,50 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray) -> StepOut:
         base_wrench = _force_attack(cfg, k_attack)
     else:
         base_wrench = jnp.zeros(6)
+
+    # -- manual-mode state kicks (state_disturbance, Environment.hpp:912-940)
+    state_gc, state_gv = state.gc, state.gv
+    if cfg.force_disturbance and cfg.manual:
+        period_frames = max(int(cfg.period / cfg.control_dt * 10), 1)
+        kick = (state.frame_idx % period_frames) == 0
+        kn_pos = jax.random.uniform(k_attack, (7,), minval=-1.0, maxval=1.0)
+        kn_vel = jax.random.uniform(jax.random.fold_in(k_attack, 1), (6,),
+                                    minval=-1.0, maxval=1.0)
+        ratio = 0.5
+        gc_k = state_gc.at[2].add(0.03 * kn_pos[2] * ratio)
+        gc_k = gc_k.at[3:7].add(0.1 * kn_pos[3:7] * ratio)
+        gc_k = gc_k.at[3:7].set(gc_k[3:7] / jnp.linalg.norm(gc_k[3:7]))
+        gv_k = state_gv.at[2].add(0.1 * kn_vel[2] * ratio)
+        gv_k = gv_k.at[3:5].add(0.3 * kn_vel[3:5] * ratio)
+        state_gc = jnp.where(kick, gc_k, state_gc)
+        state_gv = jnp.where(kick, gv_k, state_gv)
+
+    # -- meteorite-attack curriculum (crucial learning, Environment.hpp:717-741)
+    cube_pos, cube_vel = state.cube_pos, state.cube_vel
+    cube_radius, cube_mass = state.cube_radius, state.cube_mass
+    cube_active = state.cube_active
+    if cfg.crucial:
+        ring_frames = max(int(5 * cfg.period / cfg.control_dt), 1)
+        respawn = (state.frame_idx % ring_frames) == 0
+        pos_r, vel_r, rad_r, mass_r = _cube_ring_reset(cfg, state_gc, state.current_time)
+        launch_vel = jnp.concatenate(
+            [jnp.broadcast_to(state_gv[:2], (cfg.num_cube, 2)),
+             jnp.full((cfg.num_cube, 1), -5.0)], axis=-1)
+        do_launch = jnp.logical_not(respawn) & jnp.logical_not(cube_active)
+        cube_pos = jnp.where(respawn, pos_r, cube_pos)
+        cube_vel = jnp.where(respawn, vel_r,
+                             jnp.where(do_launch, launch_vel, cube_vel))
+        cube_radius = jnp.where(respawn, rad_r, cube_radius)
+        cube_mass = jnp.where(respawn, mass_r, cube_mass)
+        cube_active = jnp.logical_not(respawn)
+        # integrate the spheres over the control step; their box-contact
+        # reaction loads the base during the substeps below
+        acc, reaction = _sphere_robot_forces(cfg, state_gc, cube_pos, cube_vel,
+                                             cube_radius, cube_mass, state.terrain)
+        dyn_mask = cube_active.astype(jnp.float32)
+        cube_vel = cube_vel + cfg.control_dt * acc * dyn_mask
+        cube_pos = cube_pos + cfg.control_dt * cube_vel * dyn_mask
+        base_wrench = base_wrench + reaction * dyn_mask
 
     # -- 8 physics substeps, PD torque recomputed from fresh state (:758-774)
     gain_pattern = jnp.asarray(np.array([cfg.abad_ratio, 1.0, 1.0] * 4))
@@ -404,14 +557,19 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray) -> StepOut:
         return (gc2, gv2), (tau, diag)
 
     (gc, gv), (taus, diags) = jax.lax.scan(
-        substep, (state.gc, state.gv), None, length=cfg.substeps)
+        substep, (state_gc, state_gv), None, length=cfg.substeps)
     torque_applied = taus[-1]
     last_diag = jax.tree.map(lambda x: x[-1], diags)
 
     # -- observation at the new state (time = state.current_time)
     t = state.current_time
+    if ref_table is not None and not cfg.manual_traj and not cfg.manual:
+        phase_now = ref_table[jnp.clip(state.frame_idx, 0, ref_table.shape[0] - 1),
+                              25:27]
+    else:
+        phase_now = None
     obs, v_body, w_body, R = _raw_observation(cfg, k_obs, gc, gv,
-                                              state.command_filtered, t)
+                                              state.command_filtered, t, phase_now)
 
     # -- contact information (impulse-scaled force norm, see SURVEY notes)
     contact_force_norm = last_diag.toe_force_norm * (cfg.simulation_dt / cfg.control_dt)
@@ -425,10 +583,11 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray) -> StepOut:
         torque_applied, state.torque_norm_last, contact_vel_norm, contact_force_norm)
 
     # -- next references (command_obs_update(false) after reward, :784)
-    command, command_filtered, ref, joint_ref_last = _update_references(
+    upd = _update_references(
         cfg, k_cmd, state.command, state.command_filtered, state.joint_ref,
-        t, is_reset=False)
-    joint_dot_ref = (ref.joint_ref - joint_ref_last) / cfg.control_dt
+        state.joint_dot_ref, t, state.frame_idx, is_reset=False,
+        ref_table=ref_table)
+    command, command_filtered = upd.command, upd.command_filtered
     obs = obs.at[:3].set(command_filtered)
 
     # -- obs low-pass (observe(), Environment.hpp:1251-1256)
@@ -446,18 +605,20 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray) -> StepOut:
         ptarget_last=ptarget, torque_norm_last=rew.torque_norm,
         torque_applied=torque_applied, base_wrench=base_wrench,
         command=command, command_filtered=command_filtered,
-        joint_ref=ref.joint_ref, joint_ref_last=ref.joint_ref,
-        joint_dot_ref=joint_dot_ref, ee_ref=ref.ee_ref,
+        joint_ref=upd.joint_ref, joint_ref_last=upd.joint_ref,
+        joint_dot_ref=upd.joint_dot_ref, ee_ref=upd.ee_ref,
         current_time=t + cfg.control_dt, frame_idx=state.frame_idx + 1,
         contact_filtered=contact_flag, contact_force_norm=contact_force_norm,
         contact_vel_norm=contact_vel_norm,
         obs_double=obs, obs_last=obs,
         done=done, ep_return=state.ep_return + reward, ep_len=state.ep_len + 1,
         reward_terms=rew.terms,
+        cube_pos=cube_pos, cube_vel=cube_vel, cube_radius=cube_radius,
+        cube_mass=cube_mass, cube_active=cube_active,
     )
 
     # -- auto-reset with terminal reward (perAgentStep, VectorizedEnvironment.hpp:352-372)
-    reset_state = reset(cfg, new_state._replace(key=k_reset))
+    reset_state = reset(cfg, new_state._replace(key=k_reset), ref_table)
     out_state = jax.tree.map(lambda a, b: jnp.where(done, a, b), reset_state, new_state)
     # keep episode stats of the finished episode visible in info
     info = {
@@ -496,3 +657,8 @@ def inverse_mass_matrix(state: EnvState) -> jnp.ndarray:
 
 def nonlinear(state: EnvState) -> jnp.ndarray:
     return dyn.nonlinearities(state.params, state.gc, state.gv)
+
+
+def sphere_info(state: EnvState) -> jnp.ndarray:
+    """First attack sphere [x, y, z, radius] (GetSphereInfo, Environment.hpp:1423-1436)."""
+    return jnp.concatenate([state.cube_pos[0], state.cube_radius[None]])

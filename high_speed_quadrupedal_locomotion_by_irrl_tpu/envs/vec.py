@@ -23,14 +23,15 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as b
 class VecEnv:
     """Batched BlackPanther MDP. All methods are jitted and vmapped."""
 
-    def __init__(self, cfg: EnvConfig):
+    def __init__(self, cfg: EnvConfig, ref_table=None):
         self.cfg = cfg
         self.num_envs = cfg.num_envs
         self.ob_dim = bp.OBS_DIM
         self.act_dim = bp.ACT_DIM
-        self._init = jax.jit(jax.vmap(functools.partial(bp.env_init, cfg)))
-        self._step = jax.jit(jax.vmap(functools.partial(bp.step, cfg)))
-        self._reset = jax.jit(jax.vmap(functools.partial(bp.reset, cfg)))
+        rt = None if ref_table is None else jnp.asarray(ref_table, jnp.float32)
+        self._init = jax.jit(jax.vmap(lambda k: bp.env_init(cfg, k, rt)))
+        self._step = jax.jit(jax.vmap(lambda s, a: bp.step(cfg, s, a, rt)))
+        self._reset = jax.jit(jax.vmap(lambda s: bp.reset(cfg, s, rt)))
         self._observe = jax.jit(jax.vmap(functools.partial(bp.observe, cfg)))
 
     def init(self, key: jax.Array | int | None = None) -> bp.EnvState:
