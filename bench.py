@@ -10,10 +10,15 @@ quick CPU smoke run.
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def _bench_mpc(batch: int, horizon: int, n_iter: int, repeats: int = 3):
@@ -33,8 +38,11 @@ def _bench_mpc(batch: int, horizon: int, n_iter: int, repeats: int = 3):
         mpc_cfg.horizon))(cmds)
 
     solve = jax.jit(lambda pr: trot.batched_solve(cfg, mpc_cfg, pb, pr).cost)
+    _log(f"bench: compiling MPC solve (batch={batch}, horizon={horizon})...")
+    t_c = time.perf_counter()
     cost = solve(probs)
     jax.block_until_ready(cost)  # compile + warmup
+    _log(f"bench: MPC compile+warmup {time.perf_counter() - t_c:.1f}s")
     t0 = time.perf_counter()
     for _ in range(repeats):
         cost = solve(probs)
@@ -59,8 +67,11 @@ def _bench_env(batch: int, n_steps: int, repeats: int = 3):
         return s2, jnp.sum(rews)
 
     run_j = jax.jit(run)
+    _log(f"bench: compiling env rollout (batch={batch}, steps={n_steps})...")
+    t_c = time.perf_counter()
     s2, tot = run_j(state)
     jax.block_until_ready(tot)
+    _log(f"bench: env compile+warmup {time.perf_counter() - t_c:.1f}s")
     t0 = time.perf_counter()
     for _ in range(repeats):
         s2, tot = run_j(s2)

@@ -31,6 +31,7 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo.gae import advantages
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.config import EnvConfig
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import registry
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +49,11 @@ class PPOConfig:
     nminibatches: int = 1
     n_steps: int = 750
     n_lstm: tuple = (48, 48)
+    policy: str = "CustomLSTMPolicy"  # models.registry key (policy zoo parity)
+
+    @property
+    def policy_mod(self):
+        return registry.get_policy(self.policy)
 
 
 class TrainState(NamedTuple):
@@ -81,27 +87,29 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
 
 def init_train_state(env_cfg: EnvConfig, ppo_cfg: PPOConfig, key: jax.Array,
                      params: Optional[lstm.PolicyParams] = None) -> TrainState:
+    pol = ppo_cfg.policy_mod
     k_params, k_env, k_train = jax.random.split(key, 3)
     if params is None:
-        params = lstm.init(k_params, bp.OBS_DIM, bp.ACT_DIM, ppo_cfg.n_lstm)
+        params = pol.init(k_params, bp.OBS_DIM, bp.ACT_DIM, ppo_cfg.n_lstm)
     env_state = jax.vmap(lambda k: bp.env_init(env_cfg, k))(
         jax.random.split(k_env, env_cfg.num_envs))
     obs = jax.vmap(lambda s: bp.observe(env_cfg, s))(env_state)
     opt_state = make_optimizer(ppo_cfg).init(params)
     return TrainState(
         params=params, opt_state=opt_state, env_state=env_state,
-        lstm_state=jnp.zeros((env_cfg.num_envs, lstm.state_size(ppo_cfg.n_lstm))),
+        lstm_state=jnp.zeros((env_cfg.num_envs, pol.state_size(ppo_cfg.n_lstm))),
         obs=obs, dones=jnp.zeros((env_cfg.num_envs,), bool),
         key=k_train, update_idx=jnp.zeros((), jnp.int32))
 
 
 def rollout(env_cfg: EnvConfig, ppo_cfg: PPOConfig, ts: TrainState):
     """Collect n_steps transitions; returns (new TrainState pieces, Batch)."""
+    pol = ppo_cfg.policy_mod
     init_lstm = ts.lstm_state
 
     def scan_fn(carry, key_t):
         env_state, lstm_state, obs, dones = carry
-        out = lstm.forward(ts.params, obs, lstm_state, dones.astype(obs.dtype))
+        out = pol.forward(ts.params, obs, lstm_state, dones.astype(obs.dtype))
         action = lstm.sample(key_t, out.mean, out.logstd)
         nlp = lstm.neglogp(out.mean, out.logstd, action)
         clipped = jnp.clip(action, -1.0, 1.0)   # action-space bounds (Runner, ppo2.py:530)
@@ -117,7 +125,7 @@ def rollout(env_cfg: EnvConfig, ppo_cfg: PPOConfig, ts: TrainState):
     (mb_obs, mb_actions, mb_values, mb_nlp, mb_dones_before,
      mb_rewards, mb_dones_after) = data
 
-    last_value = lstm.forward(ts.params, obs, lstm_state, dones.astype(obs.dtype)).value
+    last_value = pol.forward(ts.params, obs, lstm_state, dones.astype(obs.dtype)).value
     advs, returns = advantages(mb_rewards, mb_values, mb_dones_after,
                                last_value, ppo_cfg.gamma, ppo_cfg.lam)
     batch = Batch(obs=mb_obs, actions=mb_actions, values=mb_values,
@@ -134,7 +142,8 @@ def rollout(env_cfg: EnvConfig, ppo_cfg: PPOConfig, ts: TrainState):
 
 def ppo_loss(params: lstm.PolicyParams, batch: Batch, ppo_cfg: PPOConfig):
     """Clipped-surrogate loss over full sequences (BPTT)."""
-    seq = lstm.sequence(params, batch.obs, batch.dones_before, batch.init_lstm_state)
+    seq = ppo_cfg.policy_mod.sequence(params, batch.obs, batch.dones_before,
+                                      batch.init_lstm_state)
     nlp = lstm.neglogp(seq.mean, seq.logstd, batch.actions)          # (T,B)
     ent = jnp.mean(lstm.entropy(seq.logstd))
     vpred = seq.value

@@ -1,0 +1,126 @@
+"""Paper-figure pipelines (Data_Visualization_Code parity) + gait diagrams.
+
+Matplotlib is imported lazily with the Agg backend so headless training boxes
+can render. Covered capabilities:
+
+- :func:`velocity_tracking_figure` — command vs achieved v_x panels
+  (Figure2.py:267-291)
+- :func:`tcot_figure`              — total-cost-of-transport bars across
+  command speeds (Figure2.py:208-258)
+- :func:`work_condition_figure`    — motor (speed, torque) scatter with the
+  derating envelope (run_bp_v5.py:916-1030 / Figure5)
+- :func:`latency_figure`           — speed vs injected latency (Figure4.py:330-392)
+- :func:`gait_bar`                 — phase-colored stance/swing diagram
+  (utils/GaitColorBar.py:11-131)
+- :func:`rollout_animation`        — stick-figure side-view animation of a
+  rollout (the TPU-native stand-in for the OgreVis video recorder,
+  RaisimGymEnv.hpp:88-94)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _mpl():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def velocity_tracking_figure(rows, path: str):
+    plt = _mpl()
+    cmds = [r["command"] for r in rows]
+    vs = [r["v_mean"] for r in rows]
+    errs = [r["err_std"] for r in rows]
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.errorbar(cmds, vs, yerr=errs, marker="o", capsize=3, label="achieved")
+    ax.plot(cmds, cmds, "k--", lw=1, label="command")
+    ax.set_xlabel("command $v_x$ [m/s]"); ax.set_ylabel("achieved $v_x^B$ [m/s]")
+    ax.legend(); fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def tcot_figure(results, path: str, mass: float = 10.0):
+    """results: list of dicts from analysis.eval.torque_power per command."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(5, 4))
+    vs = [r["v_mean"] for r in results]
+    tcots = [r["tcot"] for r in results]
+    ax.bar(range(len(vs)), tcots, tick_label=[f"{v:.1f}" for v in vs])
+    ax.set_xlabel("achieved speed [m/s]"); ax.set_ylabel("TCoT = P/(m g v)")
+    fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def work_condition_figure(wc, cfg, path: str):
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.scatter(wc["speed"].ravel(), wc["torque"].ravel(), s=2, alpha=0.2)
+    tm, cs, ms = cfg.motor_max_torque, cfg.motor_critical_speed, cfg.motor_max_speed
+    w = np.linspace(0, ms, 100)
+    env = np.where(w > cs, tm - (w - cs) * tm / (ms - cs), tm)
+    ax.plot(w, env, "r-", lw=2, label="motor envelope")
+    ax.set_xlabel("|joint speed| [rad/s]"); ax.set_ylabel("|torque| [Nm]")
+    ax.legend(); fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def latency_figure(rows, path: str):
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.plot([r["latency_ms"] for r in rows], [r["v_mean"] for r in rows], "o-")
+    ax.set_xlabel("control latency [ms]"); ax.set_ylabel("achieved $v_x^B$ [m/s]")
+    fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def gait_bar(cfg, path: str, n_phase: int = 200):
+    """Phase-colored stance(dark)/swing(light) bars per leg (GaitColorBar parity)."""
+    plt = _mpl()
+    phases = np.asarray(cfg.phase_offsets)
+    t = np.linspace(0, 1, n_phase)
+    fig, ax = plt.subplots(figsize=(6, 2))
+    names = ["FR", "FL", "HR", "HL"]
+    for i, (ph, name) in enumerate(zip(phases, names)):
+        real = np.mod(t + ph, 1.0)
+        stance = real < cfg.lam
+        ax.scatter(t, np.full_like(t, 3 - i), c=np.where(stance, 0.1, 0.8),
+                   cmap="Greys_r", vmin=0, vmax=1, marker="s", s=14)
+    ax.set_yticks(range(4), names[::-1]); ax.set_xlabel("gait phase")
+    ax.set_title(f"gait {['trot','bound','gallop'][cfg.gait_type]}, duty {cfg.lam}")
+    fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def rollout_animation(log, path: str, stride: int = 10):
+    """Side-view stick-figure animation from a RolloutLog (gif/mp4 by suffix)."""
+    plt = _mpl()
+    from matplotlib import animation
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import dynamics as dyn
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+    import jax
+
+    gcs = np.asarray(log.gc)[::stride]
+    params = mdl.nominal_params()
+    kins = jax.vmap(lambda gc: dyn.fk(params, gc))(np.asarray(gcs))
+    p = np.asarray(kins.p)          # (F, 13, 3)
+    toes = np.asarray(kins.toe_pos)  # (F, 4, 3)
+
+    fig, ax = plt.subplots(figsize=(6, 3))
+    lines = [ax.plot([], [], "o-", lw=2)[0] for _ in range(4)]
+    body_line, = ax.plot([], [], "k-", lw=3)
+    ax.axhline(0, color="gray", lw=1)
+    ax.set_ylim(-0.05, 0.7); ax.set_aspect("equal")
+
+    chains = [(0, 1, 2, 3), (0, 4, 5, 6), (0, 7, 8, 9), (0, 10, 11, 12)]
+
+    def draw(f):
+        x0 = p[f, 0, 0]
+        ax.set_xlim(x0 - 0.6, x0 + 0.6)
+        for li, ch in zip(lines, chains):
+            xs = list(p[f, ch, 0]) + [toes[f, chains.index(ch), 0]]
+            zs = list(p[f, ch, 2]) + [toes[f, chains.index(ch), 2]]
+            li.set_data(xs, zs)
+        body_line.set_data([p[f, 1, 0], p[f, 10, 0]], [p[f, 1, 2], p[f, 10, 2]])
+        return lines + [body_line]
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(gcs), blit=True)
+    anim.save(path, fps=20, writer="pillow" if path.endswith(".gif") else None)
+    plt.close(fig)

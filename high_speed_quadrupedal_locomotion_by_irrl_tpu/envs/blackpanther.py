@@ -134,6 +134,31 @@ def torque_clamp(cfg: EnvConfig, torque: jnp.ndarray, qd: jnp.ndarray) -> jnp.nd
     return jnp.clip(torque, low, up)
 
 
+# --- electrical motor model (RealTorque, Environment.hpp:161-208) ------------
+
+_MOTOR_KT, _MOTOR_R, _MOTOR_TAU_MAX, _MOTOR_BATTERY_V = 0.05, 0.173, 3.0, 24.0
+_MOTOR_DAMPING, _MOTOR_FRICTION = 0.01, 0.2
+_GEAR = jnp.asarray(np.asarray(mdl.GEAR_RATIO))
+
+
+def real_torque(torque: jnp.ndarray, qd: jnp.ndarray,
+                friction: bool = True) -> jnp.ndarray:
+    """Simplified electrical motor model: current/back-EMF/battery-voltage
+    saturation + Coulomb friction (MotorDynamics flag). The reference's final
+    clamp is an evident typo (fmin(fmin(-tau_max, x), tau_max) pins the torque
+    at -tau_max); the intended symmetric clamp is implemented."""
+    tau_motor = torque / _GEAR
+    i_des = tau_motor / (_MOTOR_KT * 1.5)
+    bemf = qd * _GEAR * _MOTOR_KT * 2.0
+    v_des = i_des * _MOTOR_R + bemf
+    v_act = jnp.clip(v_des, -_MOTOR_BATTERY_V, _MOTOR_BATTERY_V)
+    tau_act = 1.5 * _MOTOR_KT * (v_act - bemf) / _MOTOR_R
+    out = _GEAR * jnp.clip(tau_act, -_MOTOR_TAU_MAX, _MOTOR_TAU_MAX)
+    if friction:
+        out = out - _MOTOR_DAMPING * qd - _MOTOR_FRICTION * jnp.sign(qd)
+    return out
+
+
 # --- phase-shaped contact windows (Environment.hpp:118-156) ------------------
 
 def smooth_function(phase: jnp.ndarray, slope: float, lam: float) -> jnp.ndarray:
@@ -550,6 +575,8 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         gc, gv = carry
         tau = kp_vec * (ptarget - gc[7:]) - kd_vec * gv[6:]
         tau = 0.99 * tau + 0.01 * state.torque_norm_last  # reference quirk, see notes
+        if cfg.motor_dynamics:
+            tau = real_torque(tau, gv[6:])
         tau = torque_clamp(cfg, tau, gv[6:])
         qdd, diag = dyn.forward_dynamics(state.params, gc, gv, tau, base_wrench,
                                          state.terrain, cfg.contact_slip_vel)
@@ -574,7 +601,13 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
     # -- contact information (impulse-scaled force norm, see SURVEY notes)
     contact_force_norm = last_diag.toe_force_norm * (cfg.simulation_dt / cfg.control_dt)
     contact_vel_norm = jnp.linalg.norm(last_diag.toe_vel, axis=-1)
-    contact_flag = (last_diag.toe_normal_force > 0.0).astype(jnp.float32)
+    if cfg.time_based_contact:
+        # phase-scheduled contact flags (contact_obs_update, Environment.hpp:1169-1193)
+        ph = jnp.mod(t + jnp.asarray(cfg.phase_offsets) * cfg.period,
+                     cfg.period) / cfg.period
+        contact_flag = (ph < cfg.lam).astype(jnp.float32)
+    else:
+        contact_flag = (last_diag.toe_normal_force > 0.0).astype(jnp.float32)
 
     # -- reward against the references generated last step
     rew = deep_mimic_reward(
@@ -649,6 +682,12 @@ def reference_state(state: EnvState) -> jnp.ndarray:
 
 def joint_effort(state: EnvState) -> jnp.ndarray:
     return state.torque_applied
+
+
+def generalized_force(state: EnvState) -> jnp.ndarray:
+    """Applied generalized force [base wrench(6); joint torques(12)]
+    (GetGeneralizedForce, Environment.hpp:1363-1370)."""
+    return jnp.concatenate([state.base_wrench, state.torque_applied])
 
 
 def inverse_mass_matrix(state: EnvState) -> jnp.ndarray:

@@ -120,6 +120,30 @@ class NumpyVecEnv:
     def get_joint_effort(self) -> np.ndarray:
         return np.asarray(jax.vmap(bp.joint_effort)(self.state))
 
+    def get_generalized_force(self) -> np.ndarray:
+        return np.asarray(jax.vmap(bp.generalized_force)(self.state))
+
+    def get_sphere_info(self) -> np.ndarray:
+        """Attack-sphere state (GetSphereInfo parity; requires Crutial)."""
+        assert self.cfg.crucial, "Please make sure the [Flag_Crutial] is True"
+        return np.asarray(jax.vmap(bp.sphere_info)(self.state))
+
+    # --- host-side stubs for the reference's visualization controls ----------
+    def show_window(self):
+        pass
+
+    def hide_window(self):
+        pass
+
+    def start_recording_video(self, name: str = ""):
+        self._video_frames = []
+
+    def stop_recording_video(self):
+        pass
+
+    def curriculum_update(self):
+        pass
+
     def get_inverse_mass_matrix(self) -> np.ndarray:
         return np.asarray(jax.vmap(bp.inverse_mass_matrix)(self.state)).reshape(self.num_envs, -1)
 

@@ -67,8 +67,11 @@ def make_dynamics(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams):
             gc, gv = carry
             tau = kp * (ptarget - gc[7:]) - kd * gv[6:]
             tau = torque_clamp(cfg, tau, gv[6:])
+            # "native" solver: compact HLO — the MPC differentiates through
+            # this step, so graph size (compile time) dominates here
             qdd, _ = dyn.forward_dynamics(params, gc, gv, tau, jnp.zeros(6),
-                                          flat, cfg.contact_slip_vel)
+                                          flat, cfg.contact_slip_vel,
+                                          solver="native")
             return dyn.integrate(gc, gv, qdd, sub_dt), None
         (gc, gv), _ = jax.lax.scan(sub, (x[:19], x[19:]), None,
                                    length=mpc_cfg.model_substeps)

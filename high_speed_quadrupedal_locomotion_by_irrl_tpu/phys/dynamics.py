@@ -202,9 +202,14 @@ def contact_wrenches(params: RobotParams, kin: Kinematics, gv: jnp.ndarray,
 @_full_precision
 def forward_dynamics(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
                      tau_joint: jnp.ndarray, base_wrench: jnp.ndarray,
-                     tp: tr.TerrainParams, slip_vel: float = 0.1):
+                     tp: tr.TerrainParams, slip_vel: float = 0.1,
+                     solver: str = "unrolled"):
     """qdd = M^-1 (tau - h + contact). base_wrench = [f_world(3); n_base(3)]
     (the generalized-force convention of force_attack, Environment.hpp:866-910).
+
+    solver: "unrolled" (ops.linalg VPU Cholesky — fastest at runtime) or
+    "native" (jnp.linalg.solve — compact HLO; use inside jacobian-heavy
+    consumers like the MPC where graph size dominates compile time).
     """
     kin = fk(params, gc)
     f_ext, toe_force_norm, toe_fn, toe_vel = contact_wrenches(params, kin, gv, tp, slip_vel)
@@ -215,10 +220,12 @@ def forward_dynamics(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
     h = bias_forces(params, kin, gv, f_ext)
     M = mass_matrix(params, kin)
     tau = jnp.concatenate([jnp.zeros(6), tau_joint - JOINT_DAMPING * gv[6:]])
-    # unrolled SPD solve: every scalar step vectorizes across the env batch
-    # under vmap (ops.linalg notes) — much faster than LAPACK-shaped solves
-    # for (B, 18, 18) on TPU
-    qdd = _linalg.solve_spd(M, tau - h)
+    if solver == "unrolled":
+        # unrolled SPD solve: every scalar step vectorizes across the env
+        # batch under vmap (ops.linalg notes)
+        qdd = _linalg.solve_spd(M, tau - h)
+    else:
+        qdd = jnp.linalg.solve(M, tau - h)
     diag = StepDiagnostics(toe_pos=kin.toe_pos, toe_vel=toe_vel,
                            toe_force_norm=toe_force_norm, toe_normal_force=toe_fn,
                            torque=tau_joint)
