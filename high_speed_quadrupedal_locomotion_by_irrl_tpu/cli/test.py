@@ -41,7 +41,79 @@ def parse_args(argv):
     p.add_argument("--delay", type=str, default=None,
                    help="comma-separated latency sweep in control steps")
     p.add_argument("--save-data", type=str, default=None, help="npy dump dir")
+    p.add_argument("--teleop", action="store_true",
+                   help="interactive teleop loop (gamepad if present, else "
+                        "scripted schedule) — the reference's Manual test mode")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="stream OriginState snapshots on this TCP port "
+                        "(RaisimServer twin; 0 = ephemeral)")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace the teleop loop at control_dt wall time")
     return p.parse_args(argv)
+
+
+def interactive(cfg, params, n_steps: int, serve_port=None, realtime=False,
+                seed: int = 0):
+    """Interactive closed-loop teleop (run_bp_v5.py test hot loop, :267-462):
+    gamepad (or scripted) command -> LSTM policy -> env step, optionally
+    streaming state snapshots to remote viewers via the native StateServer."""
+    import time
+
+    import jax.numpy as jnp
+
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import gamepad as gp
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import native
+
+    cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                      stochastic_dynamics=False)
+    pad = gp.open_pad(dt=cfg.control_dt)
+    srv = native.StateServer(serve_port) if serve_port is not None else None
+    if srv is not None:
+        print(f"state server on 127.0.0.1:{srv.port}")
+
+    cmd_scale = np.array([cfg.vx_max, cfg.vy_max, cfg.omega_max])
+
+    @jax.jit
+    def one_step(state, lstm_state, obs, command):
+        cmd_n = (command - bp.obs_mean(cfg)[:3]) / bp.obs_std(cfg)[:3]
+        obs = obs.at[:3].set(cmd_n)
+        action, lstm_state2 = lstm.deterministic_action(
+            params, obs[None], lstm_state[None], jnp.zeros((1,)))
+        out = bp.step(cfg, state._replace(command=command,
+                                          command_filtered=command), action[0])
+        snap = jnp.concatenate([bp.origin_state(out.state), command])
+        return out.state, lstm_state2[0], out.obs, snap
+
+    state = bp.env_init(cfg, jax.random.PRNGKey(seed))
+    obs = bp.observe(cfg, state)
+    s_size = lstm.state_size([w.wh.shape[0] for w in params.pi_lstm])
+    lstm_state = jnp.zeros(s_size)
+    v_hist = []
+    t_next = time.perf_counter()
+    try:
+        for i in range(n_steps):
+            command = jnp.asarray(np.clip(pad.poll(), -1, 1) * cmd_scale)
+            state, lstm_state, obs, snap = one_step(state, lstm_state, obs, command)
+            snap = np.asarray(snap)
+            if srv is not None:
+                srv.update(snap)
+            v_hist.append(snap[19:22])
+            if realtime:
+                t_next += cfg.control_dt
+                dt = t_next - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
+            if i % 250 == 0:
+                print(f"t={i * cfg.control_dt:6.2f}s cmd={np.asarray(command)} "
+                      f"v={snap[19:22]}")
+    finally:
+        pad.close()
+        if srv is not None:
+            srv.close()
+    v = np.asarray(v_hist)
+    return {"v_mean": v.mean(0).tolist(), "steps": len(v_hist)}
 
 
 def main(argv=None):
@@ -55,6 +127,12 @@ def main(argv=None):
     key = jax.random.PRNGKey(cfg.seed)
     results = {}
 
+    if args.teleop or args.serve is not None:
+        results["teleop"] = interactive(cfg, params, args.steps,
+                                        serve_port=args.serve,
+                                        realtime=args.realtime, seed=cfg.seed)
+        print(f"teleop: {results['teleop']['steps']} steps, "
+              f"mean v {results['teleop']['v_mean']}")
     if args.eval:
         cmds = [float(c) for c in args.commands.split(",")]
         results["tracking"] = ev.tracking_eval(cfg, params, cmds, key, args.steps)

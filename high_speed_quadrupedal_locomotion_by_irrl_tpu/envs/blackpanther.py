@@ -337,11 +337,20 @@ def _cube_ring_reset(cfg: EnvConfig, gc: jnp.ndarray, t: jnp.ndarray):
     return pos, jnp.zeros((cfg.num_cube, 3)), radius, mass
 
 
-def _sphere_robot_forces(cfg: EnvConfig, gc: jnp.ndarray, cube_pos, cube_vel,
-                         radius, mass, tp):
-    """Sphere <-> ground and sphere <-> body-box contact; returns
-    (sphere accelerations (C,3), reaction wrench on base (6,))."""
+SHANK_CAPSULE_RADIUS = 0.016  # visual shank mesh thickness (black_panther.urdf shank .dae)
+
+
+def _sphere_robot_forces(cfg: EnvConfig, params, gc: jnp.ndarray, cube_pos,
+                         cube_vel, radius, mass, tp):
+    """Attack-sphere contact with ground, body box and all four shank
+    capsules (knee->toe segments). The reference's Raisim world resolves
+    sphere<->every-link collisions (meteoriteAttack, Environment.hpp:815-861);
+    here the legs are capsules and the reaction is returned as per-body
+    world-origin wrenches to feed forward_dynamics(f_ext_extra=...).
+
+    Returns (sphere accelerations (C,3), robot wrenches (13, 6))."""
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import contact as _ct
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import spatial as _sp
     kn, dn = 5e4, 100.0
     # ground contact
     f_ground, _ = _ct.point_contact_force(cube_pos, cube_vel, radius, tp,
@@ -357,13 +366,34 @@ def _sphere_robot_forces(cfg: EnvConfig, gc: jnp.ndarray, cube_pos, cube_vel,
     n_body = delta / jnp.maximum(dist, 1e-6)[:, None]
     n_world = jnp.einsum("ij,cj->ci", R, n_body)
     f_box = (kn * pen)[:, None] * n_world            # on the sphere, world frame
-    f_total = f_ground + f_box
+    box_contact_w = gc[:3] + jnp.einsum("ij,cj->ci", R, closest)
+
+    # shank-capsule contact: segment knee->toe per leg vs each sphere
+    kin = dyn.fk(params, gc)
+    seg_a = kin.p[mdl.SHANK_BODY_IDX]                 # (4,3) knee anchors
+    seg_b = kin.toe_pos                               # (4,3) toe centers
+    ab = seg_b - seg_a                                # (4,3)
+    ab_len2 = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-9)
+    # closest point on each segment to each sphere center: (C,4)
+    ap = cube_pos[:, None, :] - seg_a[None, :, :]     # (C,4,3)
+    s = jnp.clip(jnp.einsum("cli,li->cl", ap, ab) / ab_len2, 0.0, 1.0)
+    closest_seg = seg_a[None] + s[..., None] * ab[None]          # (C,4,3)
+    d_seg = cube_pos[:, None, :] - closest_seg                   # (C,4,3)
+    dist_seg = jnp.linalg.norm(d_seg, axis=-1)                   # (C,4)
+    pen_seg = jnp.maximum(radius + SHANK_CAPSULE_RADIUS - dist_seg, 0.0)
+    n_seg = d_seg / jnp.maximum(dist_seg, 1e-6)[..., None]
+    f_shank = (kn * pen_seg)[..., None] * n_seg       # (C,4,3) on the sphere
+
+    f_total = f_ground + f_box + jnp.sum(f_shank, axis=1)
     acc = f_total / jnp.maximum(mass, 1e-6) + jnp.array([0.0, 0.0, -9.81])
-    # reaction on the robot base: -f_box at the contact points
-    contact_world = gc[:3] + jnp.einsum("ij,cj->ci", R, closest)
-    torque = jnp.sum(jnp.cross(contact_world - gc[:3], -f_box), axis=0)
-    force = jnp.sum(-f_box, axis=0)
-    return acc, jnp.concatenate([force, torque])
+
+    # reaction wrenches on the robot (world-origin spatial forces)
+    f_ext = jnp.zeros((mdl.NUM_BODIES, 6))
+    f_ext = f_ext.at[0].add(jnp.sum(_sp.force_at_point(-f_box, box_contact_w), axis=0))
+    shank_wrench = _sp.force_at_point(
+        -f_shank.reshape(-1, 3), closest_seg.reshape(-1, 3)).reshape(-1, 4, 6)
+    f_ext = f_ext.at[mdl.SHANK_BODY_IDX].add(jnp.sum(shank_wrench, axis=0))
+    return acc, f_ext
 
 
 def _force_attack(cfg: EnvConfig, key: jax.Array) -> jnp.ndarray:
@@ -557,14 +587,18 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         cube_radius = jnp.where(respawn, rad_r, cube_radius)
         cube_mass = jnp.where(respawn, mass_r, cube_mass)
         cube_active = jnp.logical_not(respawn)
-        # integrate the spheres over the control step; their box-contact
-        # reaction loads the base during the substeps below
-        acc, reaction = _sphere_robot_forces(cfg, state_gc, cube_pos, cube_vel,
+        # integrate the spheres over the control step; their contact
+        # reaction (body box + shank capsules) loads the robot during the
+        # substeps below as per-body external wrenches
+        acc, reaction = _sphere_robot_forces(cfg, state.params, state_gc,
+                                             cube_pos, cube_vel,
                                              cube_radius, cube_mass, state.terrain)
         dyn_mask = cube_active.astype(jnp.float32)
         cube_vel = cube_vel + cfg.control_dt * acc * dyn_mask
         cube_pos = cube_pos + cfg.control_dt * cube_vel * dyn_mask
-        base_wrench = base_wrench + reaction * dyn_mask
+        f_ext_extra = reaction * dyn_mask
+    else:
+        f_ext_extra = None
 
     # -- 8 physics substeps, PD torque recomputed from fresh state (:758-774)
     gain_pattern = jnp.asarray(np.array([cfg.abad_ratio, 1.0, 1.0] * 4))
@@ -579,7 +613,8 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
             tau = real_torque(tau, gv[6:])
         tau = torque_clamp(cfg, tau, gv[6:])
         qdd, diag = dyn.forward_dynamics(state.params, gc, gv, tau, base_wrench,
-                                         state.terrain, cfg.contact_slip_vel)
+                                         state.terrain, cfg.contact_slip_vel,
+                                         f_ext_extra=f_ext_extra)
         gc2, gv2 = dyn.integrate(gc, gv, qdd, cfg.simulation_dt)
         return (gc2, gv2), (tau, diag)
 

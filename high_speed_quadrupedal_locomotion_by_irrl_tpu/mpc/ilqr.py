@@ -54,17 +54,24 @@ def _total_cost(cost_fn: Callable, term_cost_fn: Callable,
 
 def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
           x0: jnp.ndarray, u_init: jnp.ndarray, n_iter: int = 10,
-          reg: float = 1e-6) -> ILQRResult:
+          reg: float = 1e-6, linearize_chunk: int = 1) -> ILQRResult:
     """Minimize sum_t cost(x_t, u_t, t) + term(x_T) s.t. x_{t+1}=dynamics(x_t,u_t,t).
 
     dynamics: (n,), (m,), () -> (n,);  cost_fn: (n,), (m,), () -> ();
     term_cost_fn: (n,) -> ().  All callables must be jax-traceable.
+
+    linearize_chunk: how many horizon knots to differentiate at once. The
+    dynamics jacobian drags (n+m) forward-mode tangents through the whole
+    physics step; vmapping all T knots at once makes every tangent
+    intermediate live simultaneously (with an outer problem batch that is
+    tens of GB of HBM). A scan over T/chunk blocks keeps the intermediates
+    transient — chunk=1 is the memory floor; raise it to trade HBM for
+    fewer sequential steps.
     """
     T, m = u_init.shape
     n = x0.shape[0]
 
-    fx_fn = jax.jacfwd(dynamics, argnums=0)
-    fu_fn = jax.jacfwd(dynamics, argnums=1)
+    fxu_fn = jax.jacfwd(dynamics, argnums=(0, 1))
     cx_fn = jax.grad(cost_fn, argnums=0)
     cu_fn = jax.grad(cost_fn, argnums=1)
     cxx_fn = jax.hessian(cost_fn, argnums=0)
@@ -73,13 +80,24 @@ def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
     vx_fn = jax.grad(term_cost_fn)
     vxx_fn = jax.hessian(term_cost_fn)
 
+    assert T % linearize_chunk == 0, (T, linearize_chunk)
+
+    def _linearize(xs, us, ts):
+        """(A, B) over the horizon via a chunked scan (memory-bounded)."""
+        def block(_, inp):
+            x_c, u_c, t_c = inp
+            A_c, B_c = jax.vmap(fxu_fn)(x_c, u_c, t_c)
+            return None, (A_c, B_c)
+        resh = lambda a: a.reshape((T // linearize_chunk, linearize_chunk) + a.shape[1:])
+        _, (A, B) = jax.lax.scan(block, None, (resh(xs[:-1]), resh(us), resh(ts)))
+        return A.reshape((T, n, n)), B.reshape((T, n, m))
+
     def iteration(carry, _):
         us, xs, best_cost, lam = carry
         ts = jnp.arange(T)
 
-        # --- batched derivatives over the horizon
-        A = jax.vmap(fx_fn)(xs[:-1], us, ts)      # (T,n,n)
-        B = jax.vmap(fu_fn)(xs[:-1], us, ts)      # (T,n,m)
+        # --- derivatives over the horizon (dynamics jacs chunked, costs cheap)
+        A, B = _linearize(xs, us, ts)             # (T,n,n), (T,n,m)
         cx = jax.vmap(cx_fn)(xs[:-1], us, ts)     # (T,n)
         cu = jax.vmap(cu_fn)(xs[:-1], us, ts)     # (T,m)
         cxx = jax.vmap(cxx_fn)(xs[:-1], us, ts)   # (T,n,n)

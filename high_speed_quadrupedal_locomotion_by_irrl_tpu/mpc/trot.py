@@ -32,6 +32,9 @@ class MPCConfig:
     horizon: int = 50
     n_iter: int = 8
     model_substeps: int = 2
+    # knots linearized per scan block: 1 is the HBM floor; large batched
+    # solves (1024 problems) OOM if the whole horizon is vmapped at once
+    linearize_chunk: int = 1
     weights: mcost.CostWeights = dataclasses.field(default_factory=mcost.imitation_weights)
 
 
@@ -96,7 +99,8 @@ def solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams,
     # warm start: track the joint reference directly (u = q_ref - stand pose)
     u_init = prob.joint_refs - mdl.stand_gc(cfg.abad)[7:]
     return ilqr.solve(dynamics, cost_fn, term_fn, prob.x0, u_init,
-                      n_iter=mpc_cfg.n_iter)
+                      n_iter=mpc_cfg.n_iter,
+                      linearize_chunk=mpc_cfg.linearize_chunk)
 
 
 def batched_solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params_batch: mdl.RobotParams,

@@ -203,9 +203,14 @@ def contact_wrenches(params: RobotParams, kin: Kinematics, gv: jnp.ndarray,
 def forward_dynamics(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
                      tau_joint: jnp.ndarray, base_wrench: jnp.ndarray,
                      tp: tr.TerrainParams, slip_vel: float = 0.1,
-                     solver: str = "unrolled"):
+                     solver: str = "unrolled",
+                     f_ext_extra: jnp.ndarray | None = None):
     """qdd = M^-1 (tau - h + contact). base_wrench = [f_world(3); n_base(3)]
     (the generalized-force convention of force_attack, Environment.hpp:866-910).
+
+    f_ext_extra: optional (13, 6) world-origin spatial wrenches added per
+    body — the attack-sphere reaction loads (meteoriteAttack collides with
+    every robot link in the reference's Raisim world, Environment.hpp:815-861).
 
     solver: "unrolled" (ops.linalg VPU Cholesky — fastest at runtime) or
     "native" (jnp.linalg.solve — compact HLO; use inside jacobian-heavy
@@ -216,6 +221,8 @@ def forward_dynamics(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
     # base wrench -> spatial force at world origin
     f_b, n_b = base_wrench[:3], base_wrench[3:]
     f_ext = f_ext.at[0].add(jnp.concatenate([n_b + jnp.cross(kin.p[0], f_b), f_b]))
+    if f_ext_extra is not None:
+        f_ext = f_ext + f_ext_extra
 
     h = bias_forces(params, kin, gv, f_ext)
     M = mass_matrix(params, kin)

@@ -31,13 +31,12 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(
-            os.path.join(_RUNTIME_DIR, "Makefile")):
-        try:
+    if os.path.exists(os.path.join(_RUNTIME_DIR, "Makefile")):
+        try:  # no-op when the .so is current; rebuilds after source edits
             subprocess.run(["make", "-C", _RUNTIME_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            pass
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
@@ -58,6 +57,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.irrl_ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
     lib.irrl_ring_dropped.restype = ctypes.c_long
     lib.irrl_ring_dropped.argtypes = [ctypes.c_void_p]
+    lib.irrl_server_create.restype = ctypes.c_void_p
+    lib.irrl_server_create.argtypes = [ctypes.c_int]
+    lib.irrl_server_port.restype = ctypes.c_int
+    lib.irrl_server_port.argtypes = [ctypes.c_void_p]
+    lib.irrl_server_clients.restype = ctypes.c_long
+    lib.irrl_server_clients.argtypes = [ctypes.c_void_p]
+    lib.irrl_server_update.restype = None
+    lib.irrl_server_update.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_long]
+    lib.irrl_server_destroy.restype = None
+    lib.irrl_server_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -152,3 +162,75 @@ class TelemetryRing:
         if getattr(self, "_h", None) is not None and self._lib is not None:
             self._lib.irrl_ring_destroy(self._h)
             self._h = None
+
+
+class StateServer:
+    """Native TCP state-streaming server — the RaisimServer twin
+    (RaisimServer.hpp:53-470). Publish with update(state); remote viewers
+    poll with StateClient. Requires the native runtime (raises otherwise)."""
+
+    def __init__(self, port: int = 0):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native runtime not built; StateServer needs it")
+        self._h = self._lib.irrl_server_create(port)
+        if not self._h:
+            raise OSError(f"could not bind state server on port {port}")
+
+    @property
+    def port(self) -> int:
+        return int(self._lib.irrl_server_port(self._h))
+
+    @property
+    def clients(self) -> int:
+        return int(self._lib.irrl_server_clients(self._h))
+
+    def update(self, state: np.ndarray) -> None:
+        state = np.ascontiguousarray(state, dtype=np.float32).ravel()
+        self._lib.irrl_server_update(
+            self._h, state.ctypes.data_as(ctypes.c_void_p), state.size)
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.irrl_server_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+
+class StateClient:
+    """Deserializer twin (visualizer/deserializer.hpp:40-341): connects to a
+    StateServer and polls state snapshots."""
+
+    def __init__(self, port: int, host: str = "127.0.0.1", timeout: float = 5.0):
+        import socket
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("state server closed the connection")
+            buf += chunk
+        return buf
+
+    def meta(self) -> int:
+        """Snapshot length in floats (REQUEST_META)."""
+        self._sock.sendall(b"\x02")
+        return int(np.frombuffer(self._recv_exact(4), dtype=np.uint32)[0])
+
+    def state(self) -> tuple[int, np.ndarray]:
+        """(sequence number, latest snapshot) via REQUEST_STATE."""
+        self._sock.sendall(b"\x01")
+        seq = int(np.frombuffer(self._recv_exact(4), dtype=np.uint32)[0])
+        n = int(np.frombuffer(self._recv_exact(4), dtype=np.uint32)[0])
+        data = np.frombuffer(self._recv_exact(4 * n), dtype=np.float32).copy()
+        return seq, data
+
+    def close(self) -> None:
+        if getattr(self, "_sock", None):
+            self._sock.close()
+            self._sock = None

@@ -11,17 +11,29 @@
 //   - linear trajectory resampler (recorded dt -> control_dt);
 //   - lock-free SPSC telemetry ring: training threads push fixed-size float
 //     records (reward terms, steps/s) without taking the GIL or a mutex; a
-//     logger thread drains.
+//     logger thread drains;
+//   - TCP state-streaming server: the TPU-native twin of the reference's
+//     vendored raisim::RaisimServer/Deserializer pair (RaisimServer.hpp:53-470,
+//     visualizer/deserializer.hpp:40-341) — a background thread serves the
+//     latest robot-state snapshot to remote visualization clients over a
+//     tiny length-prefixed float protocol.
 //
 // C ABI only; bound from Python via ctypes (no pybind11 in this image).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <fcntl.h>
+#include <mutex>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <poll.h>
 #include <sys/mman.h>
+#include <sys/socket.h>
 #include <sys/stat.h>
+#include <thread>
 #include <unistd.h>
 #include <vector>
 
@@ -163,6 +175,140 @@ long irrl_ring_pop(void* h, float* out, long max_records) {
 
 long irrl_ring_dropped(void* h) {
   return static_cast<IrrlRing*>(h)->dropped.load(std::memory_order_relaxed);
+}
+
+// ---------------------------------------------------------------------------
+// TCP state-streaming server (RaisimServer twin).
+//
+// Wire protocol (little-endian, matching the reference's request/response
+// style at RaisimServer.hpp:189-240 but carrying a flat float snapshot
+// instead of Ogre object graphs):
+//   client -> server: 1 request byte
+//       1 = REQUEST_STATE : reply u32 seq, u32 n, n f32 (latest snapshot)
+//       2 = REQUEST_META  : reply u32 n (snapshot length in floats)
+//   anything else closes the connection.
+// ---------------------------------------------------------------------------
+struct IrrlServer {
+  int listen_fd = -1;
+  int port = 0;
+  std::thread thr;
+  std::atomic<bool> stop{false};
+  std::atomic<long> clients{0};
+  std::mutex mu;                // guards snapshot
+  std::vector<float> snapshot;
+  uint32_t seq = 0;
+};
+
+static bool send_all(int fd, const void* buf, size_t n) {
+  const char* p = static_cast<const char*>(buf);
+  while (n > 0) {
+    ssize_t k = send(fd, p, n, MSG_NOSIGNAL);
+    if (k <= 0) return false;
+    p += k; n -= static_cast<size_t>(k);
+  }
+  return true;
+}
+
+static void serve_loop(IrrlServer* s) {
+  std::vector<int> conns;
+  while (!s->stop.load(std::memory_order_relaxed)) {
+    std::vector<pollfd> fds;
+    fds.push_back({s->listen_fd, POLLIN, 0});
+    for (int c : conns) fds.push_back({c, POLLIN, 0});
+    if (poll(fds.data(), fds.size(), 50) < 0) continue;
+
+    if (fds[0].revents & POLLIN) {
+      int c = accept(s->listen_fd, nullptr, nullptr);
+      if (c >= 0) {
+        int one = 1;
+        setsockopt(c, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+        conns.push_back(c);
+        s->clients.store(static_cast<long>(conns.size()), std::memory_order_relaxed);
+      }
+    }
+    for (size_t i = 1; i < fds.size(); ++i) {
+      if (!(fds[i].revents & (POLLIN | POLLHUP | POLLERR))) continue;
+      int c = fds[i].fd;
+      char req = 0;
+      ssize_t k = recv(c, &req, 1, 0);
+      bool ok = k == 1;
+      if (ok && req == 1) {
+        std::vector<float> snap;
+        uint32_t seq;
+        {
+          std::lock_guard<std::mutex> g(s->mu);
+          snap = s->snapshot;
+          seq = s->seq;
+        }
+        uint32_t n = static_cast<uint32_t>(snap.size());
+        ok = send_all(c, &seq, 4) && send_all(c, &n, 4) &&
+             (n == 0 || send_all(c, snap.data(), n * sizeof(float)));
+      } else if (ok && req == 2) {
+        uint32_t n;
+        {
+          std::lock_guard<std::mutex> g(s->mu);
+          n = static_cast<uint32_t>(s->snapshot.size());
+        }
+        ok = send_all(c, &n, 4);
+      } else {
+        ok = false;
+      }
+      if (!ok) {
+        close(c);
+        conns.erase(std::find(conns.begin(), conns.end(), c));
+        s->clients.store(static_cast<long>(conns.size()), std::memory_order_relaxed);
+      }
+    }
+  }
+  for (int c : conns) close(c);
+}
+
+// port=0 picks an ephemeral port (read back with irrl_server_port).
+// Returns nullptr on bind failure.
+void* irrl_server_create(int port) {
+  auto* s = new IrrlServer();
+  s->listen_fd = socket(AF_INET, SOCK_STREAM, 0);
+  if (s->listen_fd < 0) { delete s; return nullptr; }
+  int one = 1;
+  setsockopt(s->listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  if (bind(s->listen_fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0 ||
+      listen(s->listen_fd, 8) != 0) {
+    close(s->listen_fd);
+    delete s;
+    return nullptr;
+  }
+  socklen_t len = sizeof(addr);
+  getsockname(s->listen_fd, reinterpret_cast<sockaddr*>(&addr), &len);
+  s->port = ntohs(addr.sin_port);
+  s->thr = std::thread(serve_loop, s);
+  return s;
+}
+
+int irrl_server_port(void* h) { return static_cast<IrrlServer*>(h)->port; }
+
+long irrl_server_clients(void* h) {
+  return static_cast<IrrlServer*>(h)->clients.load(std::memory_order_relaxed);
+}
+
+// Publish the latest state snapshot (n floats); cheap copy under a mutex —
+// the simulation loop calls this once per rendered control step.
+void irrl_server_update(void* h, const float* state, long n) {
+  auto* s = static_cast<IrrlServer*>(h);
+  std::lock_guard<std::mutex> g(s->mu);
+  s->snapshot.assign(state, state + n);
+  ++s->seq;
+}
+
+void irrl_server_destroy(void* h) {
+  auto* s = static_cast<IrrlServer*>(h);
+  s->stop.store(true, std::memory_order_relaxed);
+  if (s->thr.joinable()) s->thr.join();
+  close(s->listen_fd);
+  delete s;
 }
 
 }  // extern "C"

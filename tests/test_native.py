@@ -60,3 +60,41 @@ def test_telemetry_ring_overflow(rng):
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no toolchain")
 def test_native_library_builds():
     assert native.native_available(), "native runtime failed to build"
+
+
+@pytest.mark.skipif(not native.native_available(), reason="native runtime not built")
+def test_state_server_roundtrip(rng):
+    srv = native.StateServer(port=0)
+    try:
+        cli = native.StateClient(srv.port)
+        assert cli.meta() == 0  # nothing published yet
+        snap1 = rng.normal(size=41).astype(np.float32)
+        srv.update(snap1)
+        seq, got = cli.state()
+        assert seq == 1
+        np.testing.assert_allclose(got, snap1, atol=1e-6)
+        snap2 = rng.normal(size=41).astype(np.float32)
+        srv.update(snap2)
+        seq2, got2 = cli.state()
+        assert seq2 == 2
+        np.testing.assert_allclose(got2, snap2, atol=1e-6)
+        assert cli.meta() == 41
+        assert srv.clients == 1
+        cli.close()
+    finally:
+        srv.close()
+
+
+@pytest.mark.skipif(not native.native_available(), reason="native runtime not built")
+def test_state_server_multiple_clients(rng):
+    srv = native.StateServer(port=0)
+    try:
+        srv.update(np.arange(8, dtype=np.float32))
+        clients = [native.StateClient(srv.port) for _ in range(3)]
+        for c in clients:
+            _, got = c.state()
+            np.testing.assert_allclose(got, np.arange(8), atol=1e-6)
+        for c in clients:
+            c.close()
+    finally:
+        srv.close()
