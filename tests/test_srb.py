@@ -1,0 +1,116 @@
+"""Convex SRB trot-MPC tests (mpc/srb.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+
+
+def _cfg():
+    return config.test_default()
+
+
+def test_srb_constants_physical():
+    m, I = srb._srb_constants(0.0)
+    assert 8.0 < m < 10.0  # URDF masses sum to ~8.9 kg
+    w = np.linalg.eigvalsh(I)
+    assert np.all(w > 0)
+    # elongated body: pitch inertia > roll inertia
+    assert I[1, 1] > I[0, 0]
+
+
+def test_standing_weight_sharing():
+    cfg = _cfg()
+    res = jax.jit(lambda p: srb.solve(cfg, srb.SRBConfig(horizon=50), p))(
+        srb.standing_problem(cfg, jnp.zeros(3)))
+    m, _ = srb._srb_constants(cfg.abad)
+    # trot schedule: the two stance legs carry ~the full weight
+    fz0 = np.asarray(res.forces[0, :, 2])
+    assert abs(fz0.sum() - 9.81 * m) / (9.81 * m) < 0.15
+    # height holds over the horizon
+    z = np.asarray(res.xs[:, 5])
+    assert np.all(np.abs(z - cfg.stand_height) < 0.02)
+
+
+def test_velocity_tracking_direction():
+    cfg = _cfg()
+    res = jax.jit(lambda p: srb.solve(cfg, srb.SRBConfig(horizon=50), p))(
+        srb.standing_problem(cfg, jnp.array([2.0, 0.0, 0.0])))
+    vx = np.asarray(res.xs[:, 9])
+    # accelerates monotonically toward the command within the horizon
+    assert vx[-1] > 0.5
+    assert np.all(np.diff(vx) > -1e-3)
+
+
+def test_friction_cone_respected():
+    cfg = _cfg()
+    scfg = srb.SRBConfig(horizon=50, mu=0.6, fz_max=120.0)
+    res = jax.jit(lambda p: srb.solve(cfg, scfg, p))(
+        srb.standing_problem(cfg, jnp.array([4.0, 0.0, 0.5])))
+    f = np.asarray(res.forces).reshape(-1, 3)
+    assert np.all(f[:, 2] >= -1e-6)
+    assert np.all(f[:, 2] <= 120.0 + 1e-4)
+    lim = 0.6 * f[:, 2] + 1e-5
+    assert np.all(np.abs(f[:, 0]) <= lim)
+    assert np.all(np.abs(f[:, 1]) <= lim)
+
+
+def test_swing_legs_forceless():
+    cfg = _cfg()
+    scfg = srb.SRBConfig(horizon=50)
+    res = jax.jit(lambda p: srb.solve(cfg, scfg, p))(
+        srb.standing_problem(cfg, jnp.array([1.0, 0.0, 0.0])))
+    ts = np.arange(scfg.horizon) * cfg.control_dt
+    sm = np.stack([np.asarray(srb.stance_mask(cfg, jnp.asarray(t))) for t in ts])
+    f = np.asarray(res.forces)
+    assert np.all(np.abs(f[sm < 0.5]) < 1e-6)
+
+
+def test_control_sequence_tracks_reference_in_swing():
+    """Swing-leg controls equal the gait IK reference offset (imitation target)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import gait
+
+    cfg = _cfg()
+    scfg = srb.SRBConfig(horizon=20)
+    cmd = jnp.array([1.0, 0.0, 0.0])
+    res = jax.jit(lambda p: srb.solve(cfg, scfg, p))(srb.standing_problem(cfg, cmd))
+    stand = np.asarray(mdl.stand_gc(cfg.abad)[7:])
+    for k in [0, 7, 13]:
+        t = jnp.asarray(k * cfg.control_dt)
+        sm = np.asarray(srb.stance_mask(cfg, t))
+        qref = np.asarray(gait.gait_reference(cfg, cmd, t).joint_ref)
+        u = np.asarray(res.us[k]).reshape(4, 3)
+        expect = (qref - stand).reshape(4, 3)
+        for leg in range(4):
+            if sm[leg] < 0.5:
+                np.testing.assert_allclose(u[leg], expect[leg], atol=1e-5)
+
+
+def test_batched_solve_matches_single():
+    cfg = _cfg()
+    scfg = srb.SRBConfig(horizon=30)
+    cmds = jnp.stack([jnp.array([1.0, 0.0, 0.0]), jnp.array([3.0, 0.0, 0.2])])
+    probs = jax.vmap(lambda c: srb.standing_problem(cfg, c))(cmds)
+    batched = jax.jit(lambda p: srb.batched_solve(cfg, scfg, p))(probs)
+    single = jax.jit(lambda p: srb.solve(cfg, scfg, p))(
+        srb.standing_problem(cfg, cmds[1]))
+    np.testing.assert_allclose(np.asarray(batched.cost[1]),
+                               np.asarray(single.cost), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(batched.us[1]),
+                               np.asarray(single.us), atol=1e-5)
+
+
+def test_make_problem_from_gc():
+    cfg = _cfg()
+    gc = mdl.stand_gc(cfg.abad).at[2].set(0.3)
+    gv = jnp.zeros(18).at[0].set(1.2)
+    prob = srb.make_problem(cfg, gc, gv, jnp.array([1.0, 0.0, 0.0]),
+                            jnp.asarray(0.25))
+    x0 = np.asarray(prob.x0)
+    np.testing.assert_allclose(x0[:3], 0.0, atol=1e-6)   # level attitude
+    np.testing.assert_allclose(x0[3:6], [0.0, 0.0, 0.3], atol=1e-6)
+    np.testing.assert_allclose(x0[9:12], [1.2, 0.0, 0.0], atol=1e-6)
+    assert x0[12] == 1.0
