@@ -105,13 +105,17 @@ def body_velocity(log: RolloutLog) -> np.ndarray:
     return np.einsum("tji,tj->ti", np.asarray(R), np.asarray(log.gv[:, :3]))
 
 
-def tracking_eval(cfg: EnvConfig, params, commands, key, n_steps=750, skip=100):
-    """Velocity-tracking error stats per command (run_bp_v5.py:738-818)."""
+def tracking_eval(cfg: EnvConfig, params, commands, key, n_steps=2000, skip=None):
+    """Velocity-tracking error stats per command (run_bp_v5.py:738-818).
+
+    The robot accelerates for up to ~2 s at high commands (it starts from
+    stand), so steady-state stats use the trailing 40% of the rollout by
+    default; pass an explicit `skip` (in control steps) to override."""
     rows = []
     for vx in commands:
         log = policy_rollout(_fixed_command_cfg(cfg), params,
                              jnp.array([vx, 0.0, 0.0]), key, n_steps)
-        vb = body_velocity(log)[skip:]
+        vb = body_velocity(log)[skip if skip is not None else int(n_steps * 0.6):]
         sign = -1.0 if cfg.wildcat else 1.0
         err = sign * vb[:, 0] - vx
         rows.append({"command": float(vx), "v_mean": float((sign * vb[:, 0]).mean()),

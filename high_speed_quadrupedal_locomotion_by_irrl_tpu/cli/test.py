@@ -49,6 +49,9 @@ def parse_args(argv):
                         "(RaisimServer twin; 0 = ephemeral)")
     p.add_argument("--realtime", action="store_true",
                    help="pace the teleop loop at control_dt wall time")
+    p.add_argument("--viewer", type=str, default=None, metavar="OUT.html",
+                   help="render a closed-loop rollout into a standalone "
+                        "interactive 3D HTML viewer (OgreVis twin)")
     return p.parse_args(argv)
 
 
@@ -166,6 +169,18 @@ def main(argv=None):
         for r in results["latency"]:
             print(f"latency {r['latency_ms']:.1f} ms -> v {r['v_mean']:+.2f} "
                   f"(survival {r['survival']:.2f})")
+    if args.viewer:
+        import jax.numpy as jnp
+
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import viewer
+
+        log = ev.policy_rollout(
+            cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                        stochastic_dynamics=False),
+            params, jnp.array([args.vx, 0.0, 0.0]), key, args.steps)
+        viewer.write_html(cfg, log, args.viewer)
+        results["viewer"] = args.viewer
+        print(f"viewer written to {args.viewer}")
     if args.save_data:
         os.makedirs(args.save_data, exist_ok=True)
         with open(os.path.join(args.save_data, "results.json"), "w") as f:

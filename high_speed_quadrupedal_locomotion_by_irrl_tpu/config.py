@@ -105,6 +105,10 @@ class EnvConfig:
     contact_stiffness: float = 30000.0
     contact_damping: float = 1000.0
     contact_slip_vel: float = 0.1       # regularized-Coulomb slip velocity scale [m/s]
+    # capped-impulse friction: effective contact mass [kg]; > 0 switches the
+    # tangential model to min(mu*fn, m_eff/dt * |vt|) — true stiction like
+    # Raisim's hard solver, stable at any stiffness (phys/contact.py notes)
+    contact_impulse_mass: float = 0.0
 
     # --- domain randomization magnitudes (Environment.hpp:2069-2071)
     mass_disturbance_ratio: float = 0.15

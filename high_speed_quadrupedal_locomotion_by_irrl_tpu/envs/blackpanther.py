@@ -614,7 +614,9 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         tau = torque_clamp(cfg, tau, gv[6:])
         qdd, diag = dyn.forward_dynamics(state.params, gc, gv, tau, base_wrench,
                                          state.terrain, cfg.contact_slip_vel,
-                                         f_ext_extra=f_ext_extra)
+                                         f_ext_extra=f_ext_extra,
+                                         impulse_scale=cfg.contact_impulse_mass
+                                         / cfg.simulation_dt)
         gc2, gv2 = dyn.integrate(gc, gv, qdd, cfg.simulation_dt)
         return (gc2, gv2), (tau, diag)
 

@@ -23,11 +23,23 @@ _CORNERS = np.array([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in 
                     dtype=np.float64) * BODY_BOX_HALF
 
 
-def point_contact_force(pos, vel, radius, tp, stiffness, damping, friction, slip_vel):
+def point_contact_force(pos, vel, radius, tp, stiffness, damping, friction,
+                        slip_vel, impulse_scale: float = 0.0):
     """Contact force at sphere-like points against the terrain.
 
     pos, vel: (..., 3) world position/velocity of the point centers.
     Returns (force_world (..., 3), normal_force_magnitude (...,)).
+
+    Friction models:
+    - tanh (impulse_scale == 0): regularized Coulomb, saturates at mu*fn,
+      ~linear in |vt| below slip_vel. Explicitly stable only while the
+      tangential stiffness mu*fn/slip_vel stays below ~2*m_eff/dt, which
+      caps how "sticky" stance can be at 4 kHz substeps.
+    - capped impulse (impulse_scale = m_eff/dt > 0): the force that would
+      bring the tangential velocity to zero within one substep, capped at
+      the Coulomb limit — true stiction without a stiffness blow-up (the
+      standard velocity-stepping trick; Raisim's hard solver achieves the
+      same stick exactly, Environment.hpp banner :4).
     """
     ground = _terrain.height(tp, pos[..., 0], pos[..., 1])
     n = _terrain.normal(tp, pos[..., 0], pos[..., 1])
@@ -40,8 +52,10 @@ def point_contact_force(pos, vel, radius, tp, stiffness, damping, friction, slip
     fn = jnp.maximum(stiffness * pen - damping * vn, 0.0) * active
     vt = vel - vn[..., None] * n
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + slip_vel * slip_vel * 1e-4)
-    # regularized Coulomb: saturates at mu*fn, linear in |vt| below slip_vel
-    ft_mag = friction * fn * jnp.tanh(vt_norm / slip_vel)
+    if impulse_scale > 0.0:
+        ft_mag = jnp.minimum(friction * fn, impulse_scale * vt_norm)
+    else:
+        ft_mag = friction * fn * jnp.tanh(vt_norm / slip_vel)
     f = fn[..., None] * n - ft_mag[..., None] * vt / vt_norm[..., None]
     return f, fn
 

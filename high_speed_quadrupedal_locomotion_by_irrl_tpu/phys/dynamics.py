@@ -173,7 +173,8 @@ class StepDiagnostics(NamedTuple):
 
 @_full_precision
 def contact_wrenches(params: RobotParams, kin: Kinematics, gv: jnp.ndarray,
-                     tp: tr.TerrainParams, slip_vel: float):
+                     tp: tr.TerrainParams, slip_vel: float,
+                     impulse_scale: float = 0.0):
     """External world-origin wrenches from toe + base-box contact.
 
     Returns (f_ext (13,6), toe force norms (4,), toe normal forces (4,),
@@ -182,7 +183,8 @@ def contact_wrenches(params: RobotParams, kin: Kinematics, gv: jnp.ndarray,
     toe_vel = sp.point_velocity(v[SHANK_BODY_IDX], kin.toe_pos)
     toe_f, toe_fn = ct.point_contact_force(
         kin.toe_pos, toe_vel, TOE_RADIUS, tp,
-        params.contact_stiffness, params.contact_damping, params.friction, slip_vel)
+        params.contact_stiffness, params.contact_damping, params.friction,
+        slip_vel, impulse_scale)
 
     corners = ct.box_corner_points(kin.R[0], kin.p[0])      # (8,3)
     corner_vel = sp.point_velocity(v[0][None, :], corners)
@@ -190,7 +192,7 @@ def contact_wrenches(params: RobotParams, kin: Kinematics, gv: jnp.ndarray,
     box_f, _ = ct.point_contact_force(
         corners, corner_vel, 0.0, tp,
         params.contact_stiffness * 0.25, params.contact_damping * 0.25,
-        params.friction, slip_vel)
+        params.friction, slip_vel, impulse_scale)
 
     f_ext = jnp.zeros((NUM_BODIES, 6))
     f_ext = f_ext.at[SHANK_BODY_IDX].add(sp.force_at_point(toe_f, kin.toe_pos))
@@ -204,7 +206,8 @@ def forward_dynamics(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
                      tau_joint: jnp.ndarray, base_wrench: jnp.ndarray,
                      tp: tr.TerrainParams, slip_vel: float = 0.1,
                      solver: str = "unrolled",
-                     f_ext_extra: jnp.ndarray | None = None):
+                     f_ext_extra: jnp.ndarray | None = None,
+                     impulse_scale: float = 0.0):
     """qdd = M^-1 (tau - h + contact). base_wrench = [f_world(3); n_base(3)]
     (the generalized-force convention of force_attack, Environment.hpp:866-910).
 
@@ -217,7 +220,8 @@ def forward_dynamics(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
     consumers like the MPC where graph size dominates compile time).
     """
     kin = fk(params, gc)
-    f_ext, toe_force_norm, toe_fn, toe_vel = contact_wrenches(params, kin, gv, tp, slip_vel)
+    f_ext, toe_force_norm, toe_fn, toe_vel = contact_wrenches(
+        params, kin, gv, tp, slip_vel, impulse_scale)
     # base wrench -> spatial force at world origin
     f_b, n_b = base_wrench[:3], base_wrench[3:]
     f_ext = f_ext.at[0].add(jnp.concatenate([n_b + jnp.cross(kin.p[0], f_b), f_b]))
