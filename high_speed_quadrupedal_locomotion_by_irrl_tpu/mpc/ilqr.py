@@ -25,9 +25,6 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-_ALPHAS = 0.5 ** jnp.arange(8)  # parallel line-search step sizes 1 .. 1/128
-
-
 class ILQRResult(NamedTuple):
     us: jnp.ndarray       # (T, m) optimized controls
     xs: jnp.ndarray       # (T+1, n) optimized trajectory
@@ -54,7 +51,8 @@ def _total_cost(cost_fn: Callable, term_cost_fn: Callable,
 
 def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
           x0: jnp.ndarray, u_init: jnp.ndarray, n_iter: int = 10,
-          reg: float = 1e-6, linearize_chunk: int = 1) -> ILQRResult:
+          reg: float = 1e-6, linearize_chunk: int = 1,
+          n_alphas: int = 8, relin_every: int = 1) -> ILQRResult:
     """Minimize sum_t cost(x_t, u_t, t) + term(x_T) s.t. x_{t+1}=dynamics(x_t,u_t,t).
 
     dynamics: (n,), (m,), () -> (n,);  cost_fn: (n,), (m,), () -> ();
@@ -67,9 +65,15 @@ def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
     tens of GB of HBM). A scan over T/chunk blocks keeps the intermediates
     transient — chunk=1 is the memory floor; raise it to trade HBM for
     fewer sequential steps.
-    """
+
+    n_alphas: parallel line-search step sizes 1..2^-(n_alphas-1).
+    relin_every: recompute the dynamics jacobians only on iterations
+    i % relin_every == 0 (Gauss-Newton-style jacobian reuse) — the
+    linearization is the dominant cost per iteration, and near convergence
+    stale jacobians barely change the step."""
     T, m = u_init.shape
     n = x0.shape[0]
+    alphas = 0.5 ** jnp.arange(n_alphas)
 
     fxu_fn = jax.jacfwd(dynamics, argnums=(0, 1))
     cx_fn = jax.grad(cost_fn, argnums=0)
@@ -92,12 +96,17 @@ def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
         _, (A, B) = jax.lax.scan(block, None, (resh(xs[:-1]), resh(us), resh(ts)))
         return A.reshape((T, n, n)), B.reshape((T, n, m))
 
-    def iteration(carry, _):
-        us, xs, best_cost, lam = carry
+    def iteration(carry, it):
+        us, xs, best_cost, lam, A_prev, B_prev = carry
         ts = jnp.arange(T)
 
         # --- derivatives over the horizon (dynamics jacs chunked, costs cheap)
-        A, B = _linearize(xs, us, ts)             # (T,n,n), (T,n,m)
+        if relin_every > 1:
+            A, B = jax.lax.cond(it % relin_every == 0,
+                                lambda: _linearize(xs, us, ts),
+                                lambda: (A_prev, B_prev))
+        else:
+            A, B = _linearize(xs, us, ts)         # (T,n,n), (T,n,m)
         cx = jax.vmap(cx_fn)(xs[:-1], us, ts)     # (T,n)
         cu = jax.vmap(cu_fn)(xs[:-1], us, ts)     # (T,m)
         cxx = jax.vmap(cxx_fn)(xs[:-1], us, ts)   # (T,n,n)
@@ -137,7 +146,7 @@ def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
             xs_new = jnp.concatenate([x0[None], xs_new], axis=0)
             return us_new, xs_new, _total_cost(cost_fn, term_cost_fn, xs_new, us_new)
 
-        us_c, xs_c, costs = jax.vmap(forward)(_ALPHAS)
+        us_c, xs_c, costs = jax.vmap(forward)(alphas)
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         best = jnp.argmin(costs)
         improved = costs[best] < best_cost
@@ -145,10 +154,13 @@ def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
         xs = jnp.where(improved, xs_c[best], xs)
         new_cost = jnp.where(improved, costs[best], best_cost)
         lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-8), lam * 10.0)
-        return (us, xs, new_cost, lam), new_cost
+        return (us, xs, new_cost, lam, A, B), new_cost
 
     xs0 = _rollout(dynamics, x0, u_init)
     c0 = _total_cost(cost_fn, term_cost_fn, xs0, u_init)
-    (us, xs, cost, _), trace = jax.lax.scan(
-        iteration, (u_init, xs0, c0, jnp.asarray(reg)), None, length=n_iter)
+    A0 = jnp.zeros((T, n, n))
+    B0 = jnp.zeros((T, n, m))
+    (us, xs, cost, _, _, _), trace = jax.lax.scan(
+        iteration, (u_init, xs0, c0, jnp.asarray(reg), A0, B0),
+        jnp.arange(n_iter), length=n_iter)
     return ILQRResult(us=us, xs=xs, cost=cost, cost_trace=trace)

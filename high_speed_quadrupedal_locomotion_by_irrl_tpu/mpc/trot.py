@@ -35,6 +35,8 @@ class MPCConfig:
     # knots linearized per scan block: 1 is the HBM floor; large batched
     # solves (1024 problems) OOM if the whole horizon is vmapped at once
     linearize_chunk: int = 1
+    n_alphas: int = 8       # parallel line-search widths
+    relin_every: int = 1    # jacobian reuse interval (ilqr.solve notes)
     weights: mcost.CostWeights = dataclasses.field(default_factory=mcost.imitation_weights)
 
 
@@ -100,7 +102,9 @@ def solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams,
     u_init = prob.joint_refs - mdl.stand_gc(cfg.abad)[7:]
     return ilqr.solve(dynamics, cost_fn, term_fn, prob.x0, u_init,
                       n_iter=mpc_cfg.n_iter,
-                      linearize_chunk=mpc_cfg.linearize_chunk)
+                      linearize_chunk=mpc_cfg.linearize_chunk,
+                      n_alphas=mpc_cfg.n_alphas,
+                      relin_every=mpc_cfg.relin_every)
 
 
 def batched_solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params_batch: mdl.RobotParams,

@@ -105,3 +105,31 @@ def test_trot_mpc_batched(trot_setup):
     res = jax.jit(lambda pr: trot.batched_solve(cfg, mpc_cfg, pb, pr))(probs)
     assert res.us.shape == (B, mpc_cfg.horizon, 12)
     assert np.all(np.isfinite(np.asarray(res.cost)))
+
+
+def test_ilqr_relin_and_alpha_options():
+    """Jacobian reuse (relin_every) and a narrower line search must still
+    converge on a nonlinear problem (pendulum to upright)."""
+    dt = 0.05
+
+    def dynamics(x, u, t):
+        th, w = x
+        wdot = -9.81 * jnp.sin(th) - 0.2 * w + u[0]
+        return jnp.array([th + dt * w, w + dt * wdot])
+
+    def cost_fn(x, u, t):
+        return 0.1 * (x[0] - jnp.pi) ** 2 + 0.01 * u[0] ** 2
+
+    def term_fn(x):
+        return 20.0 * (x[0] - jnp.pi) ** 2 + 1.0 * x[1] ** 2
+
+    x0 = jnp.array([0.0, 0.0])
+    T = 40
+    full = ilqr.solve(dynamics, cost_fn, term_fn, x0, jnp.zeros((T, 1)),
+                      n_iter=12)
+    trimmed = ilqr.solve(dynamics, cost_fn, term_fn, x0, jnp.zeros((T, 1)),
+                         n_iter=12, relin_every=2, n_alphas=4)
+    assert float(trimmed.cost) < float(full.cost) * 1.5
+    # both end near upright
+    assert abs(float(full.xs[-1, 0]) - np.pi) < 0.15
+    assert abs(float(trimmed.xs[-1, 0]) - np.pi) < 0.2
