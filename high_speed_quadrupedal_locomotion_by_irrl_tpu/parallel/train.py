@@ -64,6 +64,18 @@ def make_distributed_mpc(env_cfg: EnvConfig, mpc_cfg: trot.MPCConfig,
                    out_shardings=data)
 
 
+def make_distributed_srb(env_cfg: EnvConfig, scfg, mesh: Mesh) -> Callable:
+    """jit the convex SRB trot-MPC (mpc/srb.py) with scenarios sharded over
+    the mesh's data axis — the pod-scale path of the headline solver."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
+
+    data = pmesh.data_sharding(mesh)
+    prob_struct = srb.standing_problem(env_cfg, jnp.zeros(3))
+    fn = functools.partial(srb.batched_solve, env_cfg, scfg)
+    return jax.jit(fn, in_shardings=(jax.tree.map(lambda _: data, prob_struct),),
+                   out_shardings=data)
+
+
 def _params_struct():
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
     return mdl.nominal_params()

@@ -37,3 +37,23 @@ def test_graft_dryrun_multichip():
     graft = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(graft)
     graft.dryrun_multichip(4)
+
+
+def test_distributed_srb_matches_single_device():
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
+
+    mesh = pmesh.make_mesh()
+    env_cfg = config.test_default()
+    scfg = srb.SRBConfig(horizon=8)
+    cmds = jnp.stack([jnp.array([0.5 + 0.25 * i, 0.0, 0.0]) for i in range(16)])
+    probs = jax.vmap(lambda c: srb.standing_problem(env_cfg, c))(cmds)
+    sharded = jax.device_put(
+        probs, jax.tree.map(lambda _: pmesh.data_sharding(mesh), probs))
+
+    solve = ptrain.make_distributed_srb(env_cfg, scfg, mesh)
+    res = solve(sharded)
+    local = jax.jit(lambda p: srb.batched_solve(env_cfg, scfg, p))(probs)
+    np.testing.assert_allclose(np.asarray(res.cost), np.asarray(local.cost),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.us), np.asarray(local.us),
+                               atol=1e-5)
