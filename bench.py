@@ -104,6 +104,59 @@ def _bench_env(batch: int, n_steps: int, repeats: int = 3):
     return batch * n_steps / dt
 
 
+def _bench_control_mae(T: int = 200):
+    """Control MAE of our LSTM vs an independent NumPy oracle of the
+    reference's deployment runtime (CustomerLstmNN.predict semantics) on the
+    shipped bp5_155 weights — the BASELINE '<1e-2 MAE' criterion."""
+    import numpy as np
+
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import io as mio
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+
+    bp5_dir = "/root/reference/IRRL/script/model/bp5_155"
+    if not os.path.isdir(bp5_dir):
+        return None
+    params = mio.load_bp5_csv(bp5_dir)
+    rng = np.random.default_rng(0)
+    t = np.arange(T) * 0.002
+    obs = np.zeros((T, 35), np.float32)
+    obs[:, 0] = 1.0
+    obs[:, 3] = np.sin(2 * np.pi * t / 0.2)
+    obs[:, 4] = np.cos(2 * np.pi * t / 0.2)
+    obs[:, 5:] = rng.normal(scale=0.3, size=(T, 30)).astype(np.float32)
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    wx = [np.asarray(w.wx) for w in params.pi_lstm]
+    wh = [np.asarray(w.wh) for w in params.pi_lstm]
+    b = [np.asarray(w.b) for w in params.pi_lstm]
+    pi_w, pi_b = np.asarray(params.pi_w), np.asarray(params.pi_b)
+    n0, n1 = wh[0].shape[0], wh[1].shape[0]
+    c = [np.zeros(n0), np.zeros(n1)]
+    h = [np.zeros(n0), np.zeros(n1)]
+    want = []
+    for o in obs:
+        x = o
+        for i, n in enumerate((n0, n1)):
+            g = x @ wx[i] + h[i] @ wh[i] + b[i]
+            ig, fg, og, cg = g[:n], g[n:2 * n], g[2 * n:3 * n], np.tanh(g[3 * n:])
+            c[i] = sig(fg) * c[i] + sig(ig) * cg
+            h[i] = sig(og) * np.tanh(c[i])
+            x = h[i]
+        want.append(np.clip(x @ pi_w + pi_b, -1.0, 1.0))
+    want = np.stack(want)
+
+    state = jnp.zeros((1, lstm.state_size([n0, n1])))
+    done = jnp.zeros((1,))
+    got = []
+    for i in range(T):
+        act, state = lstm.deterministic_action(params, jnp.asarray(obs[i:i + 1]),
+                                               state, done)
+        got.append(jax.device_get(act[0]))
+    return float(abs(want - jnp.stack(got)).mean())
+
+
 def main():
     small = os.environ.get("BENCH_SMALL") == "1"
     srb_batch = 64 if small else 1024
@@ -114,6 +167,7 @@ def main():
 
     solves_per_s, mean_cost = _bench_srb(srb_batch, horizon)
     env_steps_per_s = _bench_env(env_batch, env_steps)
+    control_mae = _bench_control_mae()
     try:
         ilqr_per_s = _bench_ilqr(ilqr_batch, horizon, n_iter=2 if small else 8)
     except Exception as e:  # keep the headline even if the heavy extra fails
@@ -131,6 +185,7 @@ def main():
             "mean_solution_cost": round(mean_cost, 3),
             "wholebody_ilqr_solves_per_s": (round(ilqr_per_s, 2)
                                             if ilqr_per_s else None),
+            "control_mae_vs_bp5_155": control_mae,
             "env_steps_per_s_per_chip": round(env_steps_per_s, 1),
             "env_batch": env_batch,
             "device": str(jax.devices()[0]),

@@ -113,7 +113,12 @@ def rollout(env_cfg: EnvConfig, ppo_cfg: PPOConfig, ts: TrainState):
         action = lstm.sample(key_t, out.mean, out.logstd)
         nlp = lstm.neglogp(out.mean, out.logstd, action)
         clipped = jnp.clip(action, -1.0, 1.0)   # action-space bounds (Runner, ppo2.py:530)
-        step_out = jax.vmap(lambda s, a: bp.step(env_cfg, s, a))(env_state, clipped)
+        if env_cfg.use_lanes_physics:
+            # batch-in-lanes physics: ~4x substep throughput, long first
+            # compile (envs.blackpanther.step_batch notes)
+            step_out = bp.step_batch(env_cfg, env_state, clipped)
+        else:
+            step_out = jax.vmap(lambda s, a: bp.step(env_cfg, s, a))(env_state, clipped)
         data = (obs, action, out.value, nlp, dones.astype(obs.dtype),
                 step_out.reward, step_out.done)
         return (step_out.state, out.state, step_out.obs, step_out.done), data

@@ -52,6 +52,12 @@ def parse_args(argv):
     p.add_argument("--viewer", type=str, default=None, metavar="OUT.html",
                    help="render a closed-loop rollout into a standalone "
                         "interactive 3D HTML viewer (OgreVis twin)")
+    p.add_argument("--vid", type=str, default=None, metavar="OUT.gif",
+                   help="record a rollout animation (the reference's --vid / "
+                        "startRecordingVideo path, run_bp_v5.py:322-329)")
+    p.add_argument("--dump-info", type=str, default=None, metavar="OUT.csv",
+                   help="dump the rollout in the reference's info-CSV format "
+                        "(consumable by Data_Visualization_Code/Figure2.py)")
     return p.parse_args(argv)
 
 
@@ -169,18 +175,30 @@ def main(argv=None):
         for r in results["latency"]:
             print(f"latency {r['latency_ms']:.1f} ms -> v {r['v_mean']:+.2f} "
                   f"(survival {r['survival']:.2f})")
-    if args.viewer:
+    if args.viewer or args.vid or args.dump_info:
         import jax.numpy as jnp
-
-        from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import viewer
 
         log = ev.policy_rollout(
             cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
                         stochastic_dynamics=False),
             params, jnp.array([args.vx, 0.0, 0.0]), key, args.steps)
-        viewer.write_html(cfg, log, args.viewer)
-        results["viewer"] = args.viewer
-        print(f"viewer written to {args.viewer}")
+        if args.viewer:
+            from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import viewer
+            viewer.write_html(cfg, log, args.viewer)
+            results["viewer"] = args.viewer
+            print(f"viewer written to {args.viewer}")
+        if args.vid:
+            from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import figures
+            figures.rollout_animation(log, args.vid)
+            results["vid"] = args.vid
+            print(f"animation written to {args.vid}")
+        if args.dump_info:
+            from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import rawdata
+            rawdata.dump_robot_info(args.dump_info, np.asarray(log.gc),
+                                    np.asarray(log.gv), np.asarray(log.torque),
+                                    np.asarray(log.contact))
+            results["dump_info"] = args.dump_info
+            print(f"info CSV written to {args.dump_info}")
     if args.save_data:
         os.makedirs(args.save_data, exist_ok=True)
         with open(os.path.join(args.save_data, "results.json"), "w") as f:

@@ -41,6 +41,9 @@ def parse_args(argv):
     p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--distributed", action="store_true",
                    help="shard the env batch over all local devices")
+    p.add_argument("--lanes", action="store_true",
+                   help="batch-in-lanes physics (~4x env throughput; long "
+                        "first compile, cached persistently in .jax_cache)")
     return p.parse_args(argv)
 
 
@@ -51,6 +54,10 @@ def main(argv=None):
         env_cfg = env_cfg.replace(seed=args.seed)
     if args.num_envs is not None:
         env_cfg = env_cfg.replace(num_envs=args.num_envs)
+    if args.lanes:
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import profiling
+        profiling.enable_compile_cache()
+        env_cfg = env_cfg.replace(use_lanes_physics=True)
     ppo_cfg = ppo.PPOConfig(learning_rate=args.lr, n_steps=env_cfg.episode_len)
 
     params = None

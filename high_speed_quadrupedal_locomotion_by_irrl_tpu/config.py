@@ -109,6 +109,10 @@ class EnvConfig:
     # tangential model to min(mu*fn, m_eff/dt * |vt|) — true stiction like
     # Raisim's hard solver, stable at any stiffness (phys/contact.py notes)
     contact_impulse_mass: float = 0.0
+    # batch-in-lanes physics in the PPO rollout (envs.blackpanther.step_batch):
+    # ~4x env throughput on TPU, but a very long first compile — enable the
+    # persistent compile cache (utils.profiling.enable_compile_cache)
+    use_lanes_physics: bool = False
 
     # --- domain randomization magnitudes (Environment.hpp:2069-2071)
     mass_disturbance_ratio: float = 0.15

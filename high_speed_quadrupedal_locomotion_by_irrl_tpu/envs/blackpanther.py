@@ -534,11 +534,22 @@ def reset(cfg: EnvConfig, state: EnvState,
 
 # --- step ----------------------------------------------------------------------
 
-def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
-         ref_table: jnp.ndarray | None = None) -> StepOut:
-    """One control step (= cfg.substeps physics substeps) with auto-reset."""
-    key, k_act, k_cmd, k_obs, k_attack, k_reset = jax.random.split(state.key, 6)
+class _PreOut(NamedTuple):
+    gc: jnp.ndarray
+    gv: jnp.ndarray
+    ptarget: jnp.ndarray
+    base_wrench: jnp.ndarray
+    cube_pos: jnp.ndarray
+    cube_vel: jnp.ndarray
+    cube_radius: jnp.ndarray
+    cube_mass: jnp.ndarray
+    cube_active: jnp.ndarray
 
+
+def _pre_substeps(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
+                  k_act: jax.Array, k_attack: jax.Array):
+    """Everything before the physics substeps: action pipeline, disturbances,
+    attack-sphere update. Returns (_PreOut, f_ext_extra or None)."""
     # -- action scaling + filtering + multiplicative action noise (:700-705)
     ptarget = action * 1.0 + action_mean(cfg)
     fp = cfg.filter_para
@@ -599,19 +610,38 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         f_ext_extra = reaction * dyn_mask
     else:
         f_ext_extra = None
+    return _PreOut(gc=state_gc, gv=state_gv, ptarget=ptarget,
+                   base_wrench=base_wrench, cube_pos=cube_pos,
+                   cube_vel=cube_vel, cube_radius=cube_radius,
+                   cube_mass=cube_mass, cube_active=cube_active), f_ext_extra
 
-    # -- 8 physics substeps, PD torque recomputed from fresh state (:758-774)
+
+def _pd_torque(cfg: EnvConfig, ptarget, torque_norm_last, gc_joints, gv_joints):
+    """Per-substep PD -> smoothing-quirk -> motor model -> envelope clamp.
+
+    Elementwise over trailing (12,), so it works per-env and batched (B, 12)."""
     gain_pattern = jnp.asarray(np.array([cfg.abad_ratio, 1.0, 1.0] * 4))
     kp_vec = cfg.stiffness * gain_pattern
     kd_vec = cfg.damping * gain_pattern
+    tau = kp_vec * (ptarget - gc_joints) - kd_vec * gv_joints
+    tau = 0.99 * tau + 0.01 * torque_norm_last  # reference quirk, see notes
+    if cfg.motor_dynamics:
+        tau = real_torque(tau, gv_joints)
+    return torque_clamp(cfg, tau, gv_joints)
 
+
+def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
+         ref_table: jnp.ndarray | None = None) -> StepOut:
+    """One control step (= cfg.substeps physics substeps) with auto-reset."""
+    key, k_act, k_cmd, k_obs, k_attack, k_reset = jax.random.split(state.key, 6)
+
+    pre, f_ext_extra = _pre_substeps(cfg, state, action, k_act, k_attack)
+    ptarget, base_wrench = pre.ptarget, pre.base_wrench
+
+    # -- 8 physics substeps, PD torque recomputed from fresh state (:758-774)
     def substep(carry, _):
         gc, gv = carry
-        tau = kp_vec * (ptarget - gc[7:]) - kd_vec * gv[6:]
-        tau = 0.99 * tau + 0.01 * state.torque_norm_last  # reference quirk, see notes
-        if cfg.motor_dynamics:
-            tau = real_torque(tau, gv[6:])
-        tau = torque_clamp(cfg, tau, gv[6:])
+        tau = _pd_torque(cfg, ptarget, state.torque_norm_last, gc[7:], gv[6:])
         qdd, diag = dyn.forward_dynamics(state.params, gc, gv, tau, base_wrench,
                                          state.terrain, cfg.contact_slip_vel,
                                          f_ext_extra=f_ext_extra,
@@ -621,9 +651,23 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         return (gc2, gv2), (tau, diag)
 
     (gc, gv), (taus, diags) = jax.lax.scan(
-        substep, (state_gc, state_gv), None, length=cfg.substeps)
+        substep, (pre.gc, pre.gv), None, length=cfg.substeps)
     torque_applied = taus[-1]
     last_diag = jax.tree.map(lambda x: x[-1], diags)
+    return _post_substeps(cfg, state, (key, k_cmd, k_obs, k_reset), gc, gv,
+                          torque_applied, last_diag, pre, ref_table)
+
+
+def _post_substeps(cfg: EnvConfig, state: EnvState, keys, gc, gv,
+                   torque_applied, last_diag, pre: _PreOut,
+                   ref_table) -> StepOut:
+    """Everything after the physics substeps: observation, reward, reference
+    update, termination, auto-reset. Shared by step() and step_batch()."""
+    key, k_cmd, k_obs, k_reset = keys
+    ptarget, base_wrench = pre.ptarget, pre.base_wrench
+    cube_pos, cube_vel = pre.cube_pos, pre.cube_vel
+    cube_radius, cube_mass, cube_active = (pre.cube_radius, pre.cube_mass,
+                                           pre.cube_active)
 
     # -- observation at the new state (time = state.current_time)
     t = state.current_time
@@ -700,6 +744,60 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
     }
     obs_out = normalize_obs(cfg, out_state.obs_double)
     return StepOut(state=out_state, obs=obs_out, reward=reward, done=done, info=info)
+
+
+def step_batch(cfg: EnvConfig, states: EnvState, actions: jnp.ndarray,
+               ref_table: jnp.ndarray | None = None) -> StepOut:
+    """Whole-batch control step on the batch-in-lanes physics path.
+
+    Semantically identical to ``vmap(step)`` (same per-env key splits, same
+    pre/post logic) but the 8 physics substeps run through
+    ops/phys_lanes.substep — every scalar of the dynamics batches into TPU
+    lanes, ~4x the vmap path's throughput (184k vs 47k env-steps/s per v5e
+    chip at batch 8k). Costs a long first-time XLA compile; enable the
+    persistent compilation cache (utils.profiling.enable_compile_cache) for
+    production runs.
+
+    Fast-path restrictions (asserted): flat terrain, no meteorite spheres.
+    """
+    assert not cfg.crucial and not cfg.terrain, \
+        "step_batch supports the flat/no-attack fast path; use vmap(step)"
+    keys = jax.vmap(lambda k: jax.random.split(k, 6))(states.key)  # (B,6,2)
+    key, k_act, k_cmd, k_obs, k_attack, k_reset = (keys[:, i] for i in range(6))
+
+    pre, _ = jax.vmap(lambda s, a, ka, kt: _pre_substeps(cfg, s, a, ka, kt))(
+        states, actions, k_act, k_attack)
+
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.ops import phys_lanes as _lanes
+
+    P = _lanes.params_to_lanes(states.params)
+    impulse_scale = cfg.contact_impulse_mass / cfg.simulation_dt
+    bwT = pre.base_wrench.T
+
+    def substep(carry, _):
+        gcT, gvT = carry
+        tau = _pd_torque(cfg, pre.ptarget, states.torque_norm_last,
+                         gcT[7:].T, gvT[6:].T)               # (B,12)
+        out = _lanes.substep(P, gcT, gvT, tau.T, bwT, cfg.contact_slip_vel,
+                             impulse_scale, cfg.simulation_dt)
+        gc2T, gv2T, toe, toe_vel, fnorm, fnormal = out
+        return (gc2T, gv2T), (tau, toe, toe_vel, fnorm, fnormal)
+
+    (gcT, gvT), (taus, toes, toe_vels, fnorms, fnormals) = jax.lax.scan(
+        substep, (pre.gc.T, pre.gv.T), None, length=cfg.substeps)
+
+    torque_applied = taus[-1]                                # (B,12)
+    last_diag = dyn.StepDiagnostics(
+        toe_pos=jnp.moveaxis(toes[-1], -1, 0),               # (B,4,3)
+        toe_vel=jnp.moveaxis(toe_vels[-1], -1, 0),
+        toe_force_norm=fnorms[-1].T, toe_normal_force=fnormals[-1].T,
+        torque=torque_applied)
+
+    return jax.vmap(lambda s, k1, k2, k3, k4, gc, gv, ta, ld, pr:
+                    _post_substeps(cfg, s, (k1, k2, k3, k4), gc, gv, ta, ld,
+                                   pr, ref_table))(
+        states, key, k_cmd, k_obs, k_reset, gcT.T, gvT.T,
+        torque_applied, last_diag, pre)
 
 
 def observe(cfg: EnvConfig, state: EnvState) -> jnp.ndarray:

@@ -53,3 +53,18 @@ def timed(label: str, sink=None) -> Iterator[None]:
         sink(label, dt)
     else:
         print(f"[timing] {label}: {dt * 1e3:.2f} ms")
+
+
+def enable_compile_cache(path: str = ".jax_cache",
+                         min_compile_secs: float = 10.0) -> None:
+    """Persistent XLA compilation cache.
+
+    The batch-in-lanes physics path (envs.blackpanther.step_batch) trades a
+    very long first compile (~40 min for the 8-substep scan on a v5e) for
+    ~4x runtime; with this cache the compile is paid once per
+    config/batch-shape and reloaded in seconds afterwards."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)

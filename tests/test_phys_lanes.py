@@ -96,3 +96,27 @@ def test_substep_trajectory_consistency():
     gc_l, gv_l = jax.jit(lane_roll)(gc.T, gv.T)
     np.testing.assert_allclose(np.asarray(gc_l.T), np.asarray(gc_r), atol=1e-3)
     np.testing.assert_allclose(np.asarray(gv_l.T), np.asarray(gv_r), atol=5e-2)
+
+
+def test_step_batch_matches_vmap_step():
+    """envs.blackpanther.step_batch == vmap(step) (same keys, lanes physics)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
+
+    B = 8
+    cfg = config.test_default().replace(crucial=False, terrain=False)
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    states = jax.vmap(lambda k: bp.env_init(cfg, k))(keys)
+    actions = 0.3 * jax.random.normal(jax.random.PRNGKey(4), (B, 12))
+
+    ref = jax.jit(jax.vmap(lambda s, a: bp.step(cfg, s, a)))(states, actions)
+    fast = jax.jit(lambda s, a: bp.step_batch(cfg, s, a))(states, actions)
+
+    np.testing.assert_allclose(np.asarray(fast.obs), np.asarray(ref.obs),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fast.reward), np.asarray(ref.reward),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(fast.done), np.asarray(ref.done))
+    np.testing.assert_allclose(np.asarray(fast.state.gc), np.asarray(ref.state.gc),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast.state.gv), np.asarray(ref.state.gv),
+                               atol=2e-2)
