@@ -1,0 +1,59 @@
+"""Receding-horizon MPC control in the BlackPanther env (closed loop).
+
+Runs the convex SRB trot-MPC (mpc/srb.py) as an actual controller inside
+this framework's physics: at every control step the current generalized
+state becomes an SRBProblem, one TV-LQR sweep produces the force plan, and
+the first knot's normalized PD-target control is applied — the classic
+receding-horizon loop of the Mini-Cheetah convex-MPC stack, entirely inside
+one jitted `lax.scan` (solve + env step fused; no host round-trips).
+
+This is the "MPC controller" counterpart of analysis.eval.policy_rollout
+(which drives the learned bp5 LSTM); analysis/parity.py compares the two
+control sequences.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.config import EnvConfig
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
+
+
+class MPCRolloutLog(NamedTuple):
+    gc: jnp.ndarray        # (T, 19)
+    gv: jnp.ndarray        # (T, 18)
+    action: jnp.ndarray    # (T, 12) applied normalized PD targets
+    reward: jnp.ndarray    # (T,)
+    done: jnp.ndarray      # (T,)
+    solve_cost: jnp.ndarray  # (T,) SRB tracking cost of each plan
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "n_steps"))
+def mpc_rollout(cfg: EnvConfig, scfg: srb.SRBConfig, command: jnp.ndarray,
+                key: jax.Array, n_steps: int = 500) -> MPCRolloutLog:
+    """Closed-loop receding-horizon SRB-MPC rollout at a fixed command."""
+    cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                      stochastic_dynamics=False)
+    state = bp.env_init(cfg, key)
+    state = state._replace(command=command, command_filtered=command)
+
+    def scan_fn(state, _):
+        prob = srb.make_problem(cfg, state.gc, state.gv, command,
+                                state.current_time)
+        res = srb.solve(cfg, scfg, prob)
+        action = jnp.clip(res.us[0], -1.0, 1.0)
+        out = bp.step(cfg, state._replace(command=command,
+                                          command_filtered=command), action)
+        log = MPCRolloutLog(gc=out.state.gc, gv=out.state.gv, action=action,
+                            reward=out.reward, done=out.done,
+                            solve_cost=res.cost)
+        return out.state, log
+
+    _, logs = jax.lax.scan(scan_fn, state, None, length=n_steps)
+    return logs

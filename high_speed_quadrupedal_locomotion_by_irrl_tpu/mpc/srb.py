@@ -63,6 +63,15 @@ class SRBConfig:
     mu: float = 0.6            # friction-cone slope for the projection
     fz_max: float = 120.0      # per-leg normal force bound [N]
     decimation: int = 1        # knot dt = decimation * control_dt
+    # Raibert foothold correction: shift every foothold by
+    # raibert_gain * (v_meas - v_cmd) — feet land behind neutral when the
+    # robot is slow so stance pushes it forward (Raibert 1986). The sweep
+    # itself stays command-paced: with PD-position actuation the kinematic
+    # stance sweep IS the propulsion mechanism, so pacing it by measured
+    # velocity self-stalls (measured_sweep=True reproduces that failure;
+    # kept for study).
+    raibert_gain: float = 0.03
+    measured_sweep: bool = False
 
 
 class SRBProblem(NamedTuple):
@@ -70,6 +79,7 @@ class SRBProblem(NamedTuple):
     command: jnp.ndarray    # (3,) [vx, vy, wz]
     t0: jnp.ndarray         # () gait clock at the first knot
     yaw0: jnp.ndarray       # () current yaw
+    v_meas: jnp.ndarray     # (2,) measured body-frame (vx, vy) for Raibert
 
 
 class SRBResult(NamedTuple):
@@ -121,13 +131,17 @@ def stance_mask(cfg: EnvConfig, t: jnp.ndarray) -> jnp.ndarray:
 
 
 def foot_positions_body(cfg: EnvConfig, command: jnp.ndarray,
-                        t: jnp.ndarray) -> jnp.ndarray:
+                        t: jnp.ndarray,
+                        xy_shift: jnp.ndarray | None = None) -> jnp.ndarray:
     """(4,3) scheduled foot positions relative to the body center (body frame)."""
     toe = gait.toe_targets(cfg, command, t)          # hip-frame targets
+    if xy_shift is not None:
+        toe = toe.at[:, 0].add(xy_shift[0]).at[:, 1].add(xy_shift[1])
     return toe + jnp.asarray(mdl.EE_OFFSET)
 
 
-def _knot_matrices(cfg: EnvConfig, scfg: SRBConfig, command, t, yaw, m, I_inv):
+def _knot_matrices(cfg: EnvConfig, scfg: SRBConfig, sched_cmd, xy_shift,
+                   t, yaw, m, I_inv):
     """Analytic (A, B) for one knot (discretized with forward Euler + the
     exact p<-v coupling), plus the stance gating used for both B and the
     cone projection.
@@ -140,7 +154,8 @@ def _knot_matrices(cfg: EnvConfig, scfg: SRBConfig, command, t, yaw, m, I_inv):
     Rz = _rz(yaw)
     I_w_inv = Rz @ I_inv @ Rz.T
 
-    r = jnp.einsum("ij,lj->li", Rz, foot_positions_body(cfg, command, t))  # (4,3)
+    r = jnp.einsum("ij,lj->li", Rz,
+                   foot_positions_body(cfg, sched_cmd, t, xy_shift))  # (4,3)
     sm = stance_mask(cfg, t)
 
     z33 = jnp.zeros((3, 3))
@@ -196,7 +211,9 @@ def make_problem(cfg: EnvConfig, gc: jnp.ndarray, gv: jnp.ndarray,
     roll = jnp.arctan2(R[2, 1], R[2, 2])
     x0 = jnp.concatenate([
         jnp.stack([roll, pitch, yaw]), gc[:3], gv[3:6], gv[:3], jnp.ones(1)])
-    return SRBProblem(x0=x0, command=command, t0=t0, yaw0=yaw)
+    v_body = R.T @ gv[:3]
+    return SRBProblem(x0=x0, command=command, t0=t0, yaw0=yaw,
+                      v_meas=v_body[:2])
 
 
 def _project_cone(f: jnp.ndarray, sm: jnp.ndarray, mu: float,
@@ -219,8 +236,13 @@ def solve(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem) -> SRBResult:
     ts = prob.t0 + jnp.arange(T) * dt
     yaw_ref = prob.yaw0 + prob.command[2] * jnp.arange(T) * dt
 
+    xy_shift = scfg.raibert_gain * (prob.v_meas - prob.command[:2])
+    if scfg.measured_sweep:
+        sched_cmd = jnp.concatenate([prob.v_meas, prob.command[2:3]])
+    else:
+        sched_cmd = prob.command
     A, B, sm, r = jax.vmap(
-        lambda t, y: _knot_matrices(cfg, scfg, prob.command, t, y, m, I_inv)
+        lambda t, y: _knot_matrices(cfg, scfg, sched_cmd, xy_shift, t, y, m, I_inv)
     )(ts, yaw_ref)                                   # (T,13,13), (T,13,12), (T,4), (T,4,3)
 
     x_ref = _reference_states(cfg, scfg, prob)       # (T+1,13)
@@ -268,11 +290,11 @@ def solve(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem) -> SRBResult:
     err = xs - x_ref
     cost = 0.5 * jnp.einsum("ti,ij,tj->", err, Q, err) * dt
 
-    us = _grf_to_controls(cfg, prob.command, ts, forces, sm, yaw_ref)
+    us = _grf_to_controls(cfg, sched_cmd, xy_shift, ts, forces, sm, yaw_ref)
     return SRBResult(forces=forces, xs=xs, us=us, cost=cost)
 
 
-def _grf_to_controls(cfg: EnvConfig, command, ts, forces, sm, yaw_ref):
+def _grf_to_controls(cfg: EnvConfig, command, xy_shift, ts, forces, sm, yaw_ref):
     """GRF plan -> normalized PD-target sequence comparable to bp5 actions.
 
     Swing legs: pure gait-reference tracking (u = q_ref - stand), exactly the
@@ -282,7 +304,7 @@ def _grf_to_controls(cfg: EnvConfig, command, ts, forces, sm, yaw_ref):
     gains = jnp.asarray([cfg.abad_ratio, 1.0, 1.0] * 4) * cfg.stiffness
 
     def one_knot(t, f, sm_t, yaw):
-        q_ref = gait.gait_reference(cfg, command, t).joint_ref      # (12,)
+        q_ref = gait.gait_reference(cfg, command, t, xy_shift).joint_ref  # (12,)
         f_body = jnp.einsum("ij,li->lj", _rz(yaw), f)               # world->body
         J = jax.vmap(jax.jacfwd(lambda q, i: kin.leg_fk(q, i)), in_axes=(0, 0))(
             q_ref.reshape(4, 3), jnp.asarray(mdl.IS_RIGHT))         # (4,3,3)
@@ -304,4 +326,4 @@ def standing_problem(cfg: EnvConfig, command: jnp.ndarray,
                           jnp.zeros(6), jnp.ones(1)])
     return SRBProblem(x0=x0, command=command,
                       t0=jnp.asarray(0.0) if t0 is None else t0,
-                      yaw0=jnp.asarray(0.0))
+                      yaw0=jnp.asarray(0.0), v_meas=command[:2])

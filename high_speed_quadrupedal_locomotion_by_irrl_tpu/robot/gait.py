@@ -91,9 +91,16 @@ def hip_y_offsets(cfg: EnvConfig) -> jnp.ndarray:
     ]))
 
 
-def gait_reference(cfg: EnvConfig, command: jnp.ndarray, t: jnp.ndarray) -> GaitRef:
-    """Joint + end-effector reference at absolute time t for filtered command."""
+def gait_reference(cfg: EnvConfig, command: jnp.ndarray, t: jnp.ndarray,
+                   xy_shift: jnp.ndarray | None = None) -> GaitRef:
+    """Joint + end-effector reference at absolute time t for filtered command.
+
+    xy_shift: optional (2,) horizontal offset applied to every toe target —
+    the Raibert foothold correction used by the MPC runtime (the learned
+    policy's imitation reference never shifts)."""
     toe = toe_targets(cfg, command, t)
+    if xy_shift is not None:
+        toe = toe.at[:, 0].add(xy_shift[0]).at[:, 1].add(xy_shift[1])
     ik_in = toe.at[:, 1].add(hip_y_offsets(cfg))
     joint_ref = legs_ik(ik_in)
     ee_ref = (toe + EE_OFFSET_J).reshape(-1)

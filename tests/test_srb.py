@@ -114,3 +114,34 @@ def test_make_problem_from_gc():
     np.testing.assert_allclose(x0[3:6], [0.0, 0.0, 0.3], atol=1e-6)
     np.testing.assert_allclose(x0[9:12], [1.2, 0.0, 0.0], atol=1e-6)
     assert x0[12] == 1.0
+
+
+def test_receding_horizon_mpc_stands():
+    """Closed-loop SRB-MPC in the real env physics: stable stand."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime
+
+    cfg = _cfg().replace(crucial=False, terrain=False)
+    log = runtime.mpc_rollout(cfg, srb.SRBConfig(horizon=16), jnp.zeros(3),
+                              jax.random.PRNGKey(0), 150)
+    gc = np.asarray(log.gc)
+    assert int(np.asarray(log.done).sum()) == 0
+    assert gc[:, 2].min() > 0.25 and gc[:, 2].max() < 0.40
+
+
+def test_receding_horizon_mpc_trots():
+    """Closed-loop SRB-MPC tracks a forward command through real contact."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils.rotation import (
+        quat_to_matrix,
+    )
+
+    cfg = _cfg().replace(crucial=False, terrain=False)
+    log = runtime.mpc_rollout(cfg, srb.SRBConfig(horizon=16),
+                              jnp.array([1.0, 0.0, 0.0]),
+                              jax.random.PRNGKey(0), 300)
+    assert int(np.asarray(log.done).sum()) == 0
+    gc = np.asarray(log.gc)
+    gv = np.asarray(log.gv)
+    R = np.asarray(quat_to_matrix(gc[:, 3:7]))
+    vb = np.einsum("tji,tj->ti", R, gv[:, :3])
+    assert vb[-100:, 0].mean() > 0.6  # tracks most of the 1 m/s command
