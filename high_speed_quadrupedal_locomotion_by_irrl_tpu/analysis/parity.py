@@ -50,6 +50,8 @@ def mpc_vs_bp5(cfg: EnvConfig, params, command_vx: float = 1.0,
     mpc_u = np.clip(np.asarray(res.us), -1.0, 1.0)
     mae = float(np.abs(mpc_u - bp5_u).mean())
 
+    # (torque-space block below uses the iLQR trajectory)
+
     # torque-space comparison via the shared PD law on the MPC's trajectory
     stand = np.asarray(mdl.stand_gc(cfg.abad)[7:])
     xs = np.asarray(res.xs)
@@ -61,3 +63,39 @@ def mpc_vs_bp5(cfg: EnvConfig, params, command_vx: float = 1.0,
     torque_mae = float((np.abs(tau_mpc - tau_bp5) / lim).mean())
     return ParityResult(mae=mae, torque_mae=torque_mae,
                         bp5_actions=bp5_u, mpc_actions=mpc_u)
+
+
+def srb_vs_bp5(cfg: EnvConfig, params, command_vx: float = 1.0,
+               horizon: int = 50, warmup: int = 200) -> dict:
+    """Same comparison with the high-rate convex SRB engine (mpc/srb.py):
+    run bp5_155 closed-loop, take a mid-gait state, solve the SRB trot-MPC
+    from it, compare the normalized control sequences over the horizon."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
+
+    cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                      stochastic_dynamics=False)
+    command = jnp.array([command_vx, 0.0, 0.0])
+    log = ev.policy_rollout(cfg, params, command, jax.random.PRNGKey(0),
+                            warmup + horizon + 1)
+    gc0 = log.gc[warmup - 1]
+    gv0 = log.gv[warmup - 1]
+    t0 = jnp.asarray(warmup * cfg.control_dt)
+    prob = srb.make_problem(cfg, gc0, gv0, command, t0)
+    res = srb.solve(cfg, srb.SRBConfig(horizon=horizon), prob)
+
+    bp5_u = np.asarray(log.action[warmup:warmup + horizon])
+    srb_u = np.clip(np.asarray(res.us), -1.0, 1.0)
+    # per-leg swing/stance split: the SRB swing targets are the imitation
+    # reference itself, so swing MAE isolates how far the POLICY strays
+    # from the reference while stance MAE adds the force-admittance offset
+    sm = np.stack([np.asarray(srb.stance_mask(cfg, t0 + i * cfg.control_dt))
+                   for i in range(horizon)])                     # (T,4)
+    mask = np.repeat(sm, 3, axis=1)                              # (T,12)
+    diff = np.abs(srb_u - bp5_u)
+    return {
+        "mae": float(diff.mean()),
+        "mae_stance": float(diff[mask > 0.5].mean()),
+        "mae_swing": float(diff[mask < 0.5].mean()),
+        "srb_actions": srb_u,
+        "bp5_actions": bp5_u,
+    }

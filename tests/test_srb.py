@@ -145,3 +145,21 @@ def test_receding_horizon_mpc_trots():
     R = np.asarray(quat_to_matrix(gc[:, 3:7]))
     vb = np.einsum("tji,tj->ti", R, gv[:, :3])
     assert vb[-100:, 0].mean() > 0.6  # tracks most of the 1 m/s command
+
+
+def test_srb_vs_bp5_parity_report():
+    """Control-sequence comparison vs the shipped controller is well-formed."""
+    import os
+    import pytest as _pytest
+
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import parity
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import io as mio
+
+    bp5_dir = "/root/reference/IRRL/script/model/bp5_155"
+    if not os.path.isdir(bp5_dir):
+        _pytest.skip("reference weights absent")
+    params = mio.load_bp5_csv(bp5_dir)
+    r = parity.srb_vs_bp5(_cfg(), params, command_vx=1.0, horizon=20, warmup=60)
+    assert np.isfinite(r["mae"]) and r["mae"] < 1.0
+    assert r["srb_actions"].shape == (20, 12)
+    assert {"mae_stance", "mae_swing"} <= set(r)
