@@ -49,10 +49,15 @@ def _frames_from_log(cfg: EnvConfig, log, stride: int = 5):
                         np.array([[sx, sy, sz] for sx in (-1, 1)
                                   for sy in (-1, 1) for sz in (-1, 1)])
                         * mdl.BODY_BOX_HALF) + p[:, 0][:, None]
-    contact = np.asarray(log.contact)[::stride]
-    cmd = np.asarray(log.command)[::stride]
+    F = gcs.shape[0]
+    # tolerate sparse logs (e.g. MPCRolloutLog has no contact/command)
+    contact = getattr(log, "contact", None)
+    contact = (np.asarray(contact)[::stride] if contact is not None
+               else (toe[..., 2] < mdl.TOE_RADIUS + 1e-3).astype(float))
+    cmd = getattr(log, "command", None)
+    cmd = np.asarray(cmd)[::stride] if cmd is not None else np.zeros((F, 3))
     if cmd.ndim == 1:
-        cmd = np.broadcast_to(cmd, (gcs.shape[0], 3))
+        cmd = np.broadcast_to(cmd, (F, 3))
     R = quat_to_matrix(log.gc[::stride, 3:7])
     v_body = np.einsum("fji,fj->fi", np.asarray(R), np.asarray(log.gv)[::stride, :3])
     rterms = getattr(log, "reward_terms", None)
