@@ -78,6 +78,16 @@ class Batch(NamedTuple):
     init_lstm_state: jnp.ndarray  # (B, S)
 
 
+class EpStats(NamedTuple):
+    """True per-episode bookkeeping (RaisimGymVecEnv.py:42-50 ``{"r","l"}``
+    info dicts): returns/lengths of episodes that *terminated* during the
+    rollout, exactly like the reference records them on ``done``. Episodes
+    cut off by the end-of-rollout reset (ppo2.py:577) are not counted."""
+    ret_sum: jnp.ndarray   # () sum of completed-episode returns
+    len_sum: jnp.ndarray   # () sum of completed-episode lengths
+    count: jnp.ndarray     # () number of completed episodes
+
+
 def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
@@ -108,7 +118,7 @@ def rollout(env_cfg: EnvConfig, ppo_cfg: PPOConfig, ts: TrainState):
     init_lstm = ts.lstm_state
 
     def scan_fn(carry, key_t):
-        env_state, lstm_state, obs, dones = carry
+        env_state, lstm_state, obs, dones, ep_ret, ep_len = carry
         out = pol.forward(ts.params, obs, lstm_state, dones.astype(obs.dtype))
         action = lstm.sample(key_t, out.mean, out.logstd)
         nlp = lstm.neglogp(out.mean, out.logstd, action)
@@ -119,16 +129,29 @@ def rollout(env_cfg: EnvConfig, ppo_cfg: PPOConfig, ts: TrainState):
             step_out = bp.step_batch(env_cfg, env_state, clipped)
         else:
             step_out = jax.vmap(lambda s, a: bp.step(env_cfg, s, a))(env_state, clipped)
+        # per-episode accumulators; emit (r, l) on done like the reference's
+        # episode info dicts (RaisimGymVecEnv.py:42-50)
+        ep_ret = ep_ret + step_out.reward
+        ep_len = ep_len + 1
+        d = step_out.done
         data = (obs, action, out.value, nlp, dones.astype(obs.dtype),
-                step_out.reward, step_out.done)
-        return (step_out.state, out.state, step_out.obs, step_out.done), data
+                step_out.reward, d,
+                jnp.where(d, ep_ret, 0.0), jnp.where(d, ep_len, 0))
+        ep_ret = jnp.where(d, 0.0, ep_ret)
+        ep_len = jnp.where(d, 0, ep_len)
+        return (step_out.state, out.state, step_out.obs, d, ep_ret, ep_len), data
 
     key, k_roll = jax.random.split(ts.key)
     keys = jax.random.split(k_roll, ppo_cfg.n_steps)
-    (env_state, lstm_state, obs, dones), data = jax.lax.scan(
-        scan_fn, (ts.env_state, ts.lstm_state, ts.obs, ts.dones), keys)
+    zeros_b = jnp.zeros((env_cfg.num_envs,))
+    (env_state, lstm_state, obs, dones, _, _), data = jax.lax.scan(
+        scan_fn, (ts.env_state, ts.lstm_state, ts.obs, ts.dones,
+                  zeros_b, zeros_b.astype(jnp.int32)), keys)
     (mb_obs, mb_actions, mb_values, mb_nlp, mb_dones_before,
-     mb_rewards, mb_dones_after) = data
+     mb_rewards, mb_dones_after, mb_ep_ret, mb_ep_len) = data
+    ep_stats = EpStats(ret_sum=jnp.sum(mb_ep_ret),
+                       len_sum=jnp.sum(mb_ep_len).astype(jnp.float32),
+                       count=jnp.sum(mb_dones_after).astype(jnp.float32))
 
     last_value = pol.forward(ts.params, obs, lstm_state, dones.astype(obs.dtype)).value
     advs, returns = advantages(mb_rewards, mb_values, mb_dones_after,
@@ -142,7 +165,7 @@ def rollout(env_cfg: EnvConfig, ppo_cfg: PPOConfig, ts: TrainState):
     obs = jax.vmap(lambda s: bp.observe(env_cfg, s))(env_state)
     new_ts = ts._replace(env_state=env_state, lstm_state=lstm_state,
                          obs=obs, dones=dones, key=key)
-    return new_ts, batch
+    return new_ts, batch, ep_stats
 
 
 def ppo_loss(params: lstm.PolicyParams, batch: Batch, ppo_cfg: PPOConfig):
@@ -213,7 +236,7 @@ def make_update_fn(env_cfg: EnvConfig, ppo_cfg: PPOConfig) -> Callable:
         return (params, opt_state, batch), jax.tree.map(jnp.mean, metrics)
 
     def update(ts: TrainState):
-        ts, batch = rollout(env_cfg, ppo_cfg, ts)
+        ts, batch, ep = rollout(env_cfg, ppo_cfg, ts)
         key, k_epochs = jax.random.split(ts.key)
         epoch_keys = jax.random.split(k_epochs, ppo_cfg.noptepochs)
         (params, opt_state, _), metrics = jax.lax.scan(
@@ -222,8 +245,12 @@ def make_update_fn(env_cfg: EnvConfig, ppo_cfg: PPOConfig) -> Callable:
         # explained variance (logger parity, ppo2.py:424-435)
         var_y = jnp.var(batch.returns)
         metrics["explained_variance"] = 1.0 - jnp.var(batch.returns - batch.values) / (var_y + 1e-8)
-        metrics["ep_rew_mean"] = jnp.sum(batch.rewards) / jnp.maximum(
-            jnp.sum(batch.dones_before) + env_cfg.num_envs, 1)
+        # true episode bookkeeping: mean return/length over episodes that
+        # terminated this rollout (= the reference's safe_mean over ep_info_buf,
+        # ppo2.py:424-428); NaN-free when nothing terminated
+        metrics["ep_rew_mean"] = ep.ret_sum / jnp.maximum(ep.count, 1.0)
+        metrics["ep_len_mean"] = ep.len_sum / jnp.maximum(ep.count, 1.0)
+        metrics["ep_count"] = ep.count
         metrics["reward_per_step"] = jnp.mean(batch.rewards)
         ts = ts._replace(params=params, opt_state=opt_state, key=key,
                          update_idx=ts.update_idx + 1)

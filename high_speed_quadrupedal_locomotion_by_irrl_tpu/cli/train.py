@@ -35,6 +35,9 @@ def parse_args(argv):
                    help="total env steps (reference --max_iter)")
     p.add_argument("--load", type=str, default=None,
                    help="checkpoint .pkl or bp5 CSV dir to warm-start (relaxation)")
+    p.add_argument("--logstd", type=float, default=None,
+                   help="override initial logstd (useful when warm-starting "
+                        "from a CSV export that predates the logstd.csv field)")
     p.add_argument("--log-dir", type=str, default="runs")
     p.add_argument("--eval-every", type=int, default=100)
     p.add_argument("--seed", type=int, default=None)
@@ -67,6 +70,10 @@ def main(argv=None):
         else:
             tree, _step = mio.load_checkpoint(args.load)
             params = tree[0]  # (params, opt_state) tuple
+        if args.logstd is not None:
+            import jax.numpy as jnp
+            params = params._replace(
+                logstd=jnp.full_like(params.logstd, args.logstd))
 
     run_dir = make_run_dir(args.log_dir, env_cfg, [args.cfg] if args.cfg else [])
     print(f"run dir: {run_dir}")

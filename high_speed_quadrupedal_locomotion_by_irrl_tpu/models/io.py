@@ -50,9 +50,16 @@ def load_bp5_csv(path: str, n_lstm: Sequence[int] = (48, 48),
         vf_w, vf_b = ld("v_w"), jnp.atleast_1d(ld("v_b"))
     else:
         v_stack, vf_w, vf_b = blank.v_lstm, blank.vf_w, blank.vf_b
+    # logstd is not part of the reference's deployment export
+    # (CustomerLstmNN.py:203-224) but we save it so training warm-starts
+    # from CSV keep their exploration noise; fresh init when absent
+    if os.path.exists(os.path.join(path, "logstd.csv")):
+        logstd = jnp.atleast_1d(ld("logstd"))
+    else:
+        logstd = blank.logstd
     return PolicyParams(
         pi_lstm=pi_stack, v_lstm=v_stack,
-        pi_w=ld("pi_w"), pi_b=ld("pi_b"), logstd=blank.logstd,
+        pi_w=ld("pi_w"), pi_b=ld("pi_b"), logstd=logstd,
         vf_w=vf_w, vf_b=vf_b)
 
 
@@ -71,6 +78,7 @@ def save_bp5_csv(params: PolicyParams, path: str, include_value: bool = True) ->
         for i, w in enumerate(params.v_lstm):
             sv(f"v_lstm_wx{i}", w.wx); sv(f"v_lstm_wh{i}", w.wh); sv(f"v_lstm_b{i}", w.b)
         sv("v_w", params.vf_w); sv("v_b", params.vf_b)
+        sv("logstd", params.logstd)
 
 
 def save_checkpoint(path: str, tree, step: Optional[int] = None) -> None:

@@ -70,7 +70,7 @@ def test_ppo_loss_zero_advantage_gradient(tiny):
     """With identical old/new params, ratio=1 and pg_loss = -mean(norm_adv) ~ 0."""
     env_cfg, ppo_cfg = tiny
     ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(1))
-    ts2, batch = ppo.rollout(env_cfg, ppo_cfg, ts)
+    ts2, batch, _ep = ppo.rollout(env_cfg, ppo_cfg, ts)
     loss, aux = ppo.ppo_loss(ts.params, batch, ppo_cfg)
     # same params that generated the rollout: ratio == 1, approxkl == 0
     assert float(aux["approxkl"]) < 1e-9
