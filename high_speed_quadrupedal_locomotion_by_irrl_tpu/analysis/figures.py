@@ -72,6 +72,109 @@ def latency_figure(rows, path: str):
     fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
 
 
+def tracking_panels_figure(logs_by_cmd, dt: float, path: str, sign: float = 1.0):
+    """Time-series tracking panels (Figure2.py:267-291): v_x^B(t) traces per
+    commanded speed with the command as dashed steps, plus body height.
+
+    logs_by_cmd: {command: RolloutLog}."""
+    plt = _mpl()
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis.eval import (
+        body_velocity,
+    )
+
+    fig, axes = plt.subplots(2, 1, figsize=(7, 5), sharex=True,
+                             height_ratios=[2, 1])
+    cmap = plt.get_cmap("viridis")
+    cmds = sorted(logs_by_cmd)
+    for i, c in enumerate(cmds):
+        log = logs_by_cmd[c]
+        t = np.arange(len(np.asarray(log.gc))) * dt
+        vb = sign * body_velocity(log)[:, 0]
+        col = cmap(i / max(len(cmds) - 1, 1))
+        axes[0].plot(t, vb, color=col, lw=1, label=f"cmd {c:g} m/s")
+        axes[0].axhline(c, color=col, ls="--", lw=0.8)
+        axes[1].plot(t, np.asarray(log.gc)[:, 2], color=col, lw=1)
+    axes[0].set_ylabel("$v_x^B$ [m/s]"); axes[0].legend(fontsize=7, ncol=2)
+    axes[1].set_ylabel("body height [m]"); axes[1].set_xlabel("time [s]")
+    fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def tcot_grouped_figure(results_by_controller, path: str):
+    """Grouped TCoT bars across controllers (the Theta^f/Theta^m/Theta^v
+    comparison of Figure2.py:208-258).
+
+    results_by_controller: {name: list of analysis.eval.torque_power dicts}."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    names = list(results_by_controller)
+    n_cmd = max(len(v) for v in results_by_controller.values())
+    width = 0.8 / max(len(names), 1)
+    for i, name in enumerate(names):
+        res = results_by_controller[name]
+        xs = np.arange(len(res)) + i * width
+        ax.bar(xs, [r["tcot"] for r in res], width=width, label=name)
+    ax.set_xticks(np.arange(n_cmd) + 0.4 - width / 2)
+    ax.set_xticklabels([f"{i + 1}" for i in range(n_cmd)])
+    ax.set_xlabel("command $v_x$ [m/s]"); ax.set_ylabel("TCoT = P/(m g v)")
+    ax.legend(); fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def recovery_figure(rows, path: str):
+    """Speed and recovery-rate kappa vs control latency (Figure4.py:330-392):
+    the reference's headline robustness curve, from
+    analysis.robustness.latency_recovery rows."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(5.5, 4))
+    lat = [r["latency_ms"] for r in rows]
+    ax.plot(lat, [r["v_mean"] for r in rows], "o-", color="C0",
+            label="$v_x^B$")
+    ax.set_xlabel("control latency [ms]")
+    ax.set_ylabel("achieved $v_x^B$ [m/s]", color="C0")
+    ax2 = ax.twinx()
+    ax2.plot(lat, [r["kappa"] for r in rows], "s--", color="C3",
+             label=r"$\kappa$")
+    ax2.set_ylabel(r"recovery rate $\kappa$ [log$_e$/s]", color="C3")
+    ax2.set_ylim(-10, 2)   # the reference's axis range (Figure4.py:386-390)
+    for r, x in zip(rows, lat):
+        if not r.get("survived", True):
+            ax.axvspan(x - 0.2, x + 0.2, color="red", alpha=0.15)
+    fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def _ternary_xy(w: np.ndarray):
+    """Barycentric (N,3) -> 2-d coords (equilateral triangle)."""
+    x = w[:, 1] + 0.5 * w[:, 2]
+    y = np.sqrt(3) / 2 * w[:, 2]
+    return x, y
+
+
+def ternary_landscape_figure(res, comps, path: str, normalized: bool = True):
+    """The five ternary reward-landscape panels (Figure2.py:362-460) from
+    analysis.landscape results — rendered with plain matplotlib
+    tricontourf on barycentric-projected coordinates (no mpltern needed).
+
+    res: dict from landscape.reward_landscape; comps: landscape.composites."""
+    plt = _mpl()
+    names = [r"$r^f$", r"$r^v$", r"$r^m$", r"$r^b$", r"$r^t$"]
+    keys = ["r_f", "r_v", "r_m", "r_b", "r_t"]
+    x, y = _ternary_xy(res["w"])
+    fig, axes = plt.subplots(1, 5, figsize=(16, 3.2))
+    for ax, name, k in zip(axes, names, keys):
+        z = np.asarray(comps[k], dtype=float)
+        if normalized:
+            z = (z - z.min()) / max(z.max() - z.min(), 1e-12)
+        tc = ax.tricontourf(x, y, z, levels=50, cmap="magma")
+        ax.plot([0, 1, 0.5, 0], [0, 0, np.sqrt(3) / 2, 0], "k-", lw=0.8)
+        ax.set_title(name)
+        ax.set_aspect("equal"); ax.axis("off")
+        # vertex labels: w0 (left), w1 (right), w2 (top)
+        ax.text(-0.05, -0.06, r"$\Theta_0$", ha="center", fontsize=8)
+        ax.text(1.05, -0.06, r"$\Theta_1$", ha="center", fontsize=8)
+        ax.text(0.5, np.sqrt(3) / 2 + 0.04, r"$\Theta_2$", ha="center", fontsize=8)
+    fig.colorbar(tc, ax=axes, shrink=0.8, label="normalized reward")
+    fig.savefig(path, dpi=150, bbox_inches="tight"); plt.close(fig)
+
+
 def gait_bar(cfg, path: str, n_phase: int = 200):
     """Phase-colored stance(dark)/swing(light) bars per leg (GaitColorBar parity)."""
     plt = _mpl()

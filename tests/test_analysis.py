@@ -1,0 +1,92 @@
+"""Fast tests of the analysis-layer math (no env compiles):
+recovery-rate fits, landscape grid/blending/format, figure rendering."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
+    figures, landscape, robustness,
+)
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+
+
+def test_fit_kappa_recovers_exponential_rate():
+    """|v - v_ss| ~ A exp(kappa t) with kappa = -3 must fit to -3."""
+    dt, kick = 0.002, 750
+    t = np.arange(750) * dt
+    v = np.concatenate([np.full(kick, 2.0), 2.0 + 0.8 * np.exp(-3.0 * t)])
+    fit = robustness.fit_kappa(v, dt, kick)
+    assert abs(fit["kappa"] + 3.0) < 0.05
+    assert fit["r2"] > 0.99
+    assert abs(fit["v_ss"] - 2.0) < 1e-6
+
+
+def test_fit_kappa_on_noisy_signal():
+    rng = np.random.default_rng(0)
+    dt, kick = 0.002, 500
+    t = np.arange(1000) * dt
+    v = np.concatenate([np.full(kick, 1.0),
+                        1.0 + 0.5 * np.exp(-5.0 * t[:1000])])
+    v += rng.normal(scale=1e-3, size=v.shape)
+    fit = robustness.fit_kappa(v, dt, kick, window=300)
+    assert -7.0 < fit["kappa"] < -3.0
+
+
+def test_simplex_grid_covers_simplex():
+    w = landscape.simplex_grid(0.02)
+    assert w.shape[1] == 3
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+    assert (w >= -1e-6).all()
+    # the reference sweep has 5151 interior+boundary points at step 0.01
+    # (total_reward.txt: 5152 rows incl. header); step 0.02 gives 1326
+    assert len(w) == 51 * 52 // 2
+    assert len(landscape.simplex_grid(0.01)) == 101 * 102 // 2
+
+
+def test_blend_params_is_affine():
+    k = jax.random.PRNGKey(0)
+    ps = [lstm.init(jax.random.fold_in(k, i), 35, 12, (8, 8)) for i in range(3)]
+    w = jnp.array([0.2, 0.3, 0.5])
+    b = landscape.blend_params(ps, w)
+    ref = 0.2 * ps[0].pi_w + 0.3 * ps[1].pi_w + 0.5 * ps[2].pi_w
+    np.testing.assert_allclose(np.asarray(b.pi_w), np.asarray(ref), rtol=1e-6)
+    # vertex blend returns the vertex
+    b0 = landscape.blend_params(ps, jnp.array([1.0, 0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(b0.pi_w), np.asarray(ps[0].pi_w))
+
+
+def test_total_reward_format_matches_reference(tmp_path):
+    cfg = config.train_default()
+    w = landscape.simplex_grid(0.2)
+    terms = np.abs(np.random.default_rng(0).normal(size=(len(w), 8)))
+    res = {"w": w, "terms": terms, "alive_len": np.full(len(w), 750.0)}
+    p = tmp_path / "total_reward.txt"
+    landscape.save_total_reward(str(p), cfg, res)
+    header = p.read_text().splitlines()[0].split()
+    # exactly the reference's column names (Exp_Raw_Data/total_reward.txt)
+    assert header == ["w0", "w1", "height_keep", "balance_keep", "mimic_q",
+                      "mimic_dq", "cmd_linear", "cmd_angular", "torque",
+                      "torque_d", "contact", "terminal"]
+    data = np.loadtxt(str(p), skiprows=1)
+    assert data.shape == (len(w), 12)
+
+
+def test_figures_render(tmp_path):
+    cfg = config.train_default()
+    w = landscape.simplex_grid(0.1)
+    terms = np.abs(np.random.default_rng(1).normal(size=(len(w), 8)))
+    comps = landscape.composites(cfg, terms)
+    res = {"w": w, "terms": terms, "alive_len": np.full(len(w), 750.0)}
+    figures.ternary_landscape_figure(res, comps, str(tmp_path / "t.png"))
+    rows = [{"latency_ms": m, "v_mean": 5 - m / 5, "kappa": -3 + m / 5,
+             "survived": m < 8} for m in (0, 2, 4, 8)]
+    figures.recovery_figure(rows, str(tmp_path / "r.png"))
+    res2 = {"a": [{"tcot": 0.3, "v_mean": 1.0}, {"tcot": 0.4, "v_mean": 2.0}],
+            "b": [{"tcot": 0.2, "v_mean": 1.0}]}
+    figures.tcot_grouped_figure(res2, str(tmp_path / "c.png"))
+    for f in ("t.png", "r.png", "c.png"):
+        assert (tmp_path / f).stat().st_size > 1000

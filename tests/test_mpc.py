@@ -8,6 +8,8 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import cost as mcost
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import ilqr, trot
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
 
+pytestmark = pytest.mark.slow  # heavy-compile suite (see pyproject addopts)
+
 
 def test_ilqr_solves_lqr_exactly():
     """On a linear-quadratic problem iLQR must converge in one iteration to
@@ -133,3 +135,29 @@ def test_ilqr_relin_and_alpha_options():
     # both end near upright
     assert abs(float(full.xs[-1, 0]) - np.pi) < 0.15
     assert abs(float(trimmed.xs[-1, 0]) - np.pi) < 0.2
+
+
+def test_trot_solve_batch_lanes_parity(trot_setup):
+    """Lanes-batched iLQR (ilqr.solve_batch over ops/phys_lanes dynamics)
+    matches the per-problem vmap path: same problems, same optimization,
+    equal solution costs (the physics paths are numerically parity-tested
+    in tests/test_phys_lanes.py; tiny float reorderings may flip a
+    line-search pick, hence the modest tolerance)."""
+    cfg, mpc_cfg, params = trot_setup
+    B = 2
+    cmds = jnp.stack([jnp.array([v, 0.0, 0.0]) for v in (0.5, 1.5)])
+    probs = jax.vmap(lambda c: trot.make_problem(
+        cfg, trot.standing_x0(cfg)[:19], jnp.zeros(18), c, jnp.asarray(0.0),
+        mpc_cfg.horizon))(cmds)
+
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+    ref = jax.jit(lambda pr: trot.batched_solve(cfg, mpc_cfg, pb, pr))(probs)
+    res = jax.jit(lambda pr: trot.solve_batch_lanes(cfg, mpc_cfg, params, pr))(probs)
+
+    assert res.us.shape == ref.us.shape
+    assert np.all(np.isfinite(np.asarray(res.cost)))
+    np.testing.assert_allclose(np.asarray(res.cost), np.asarray(ref.cost),
+                               rtol=2e-2)
+    # both descend from the identical warm start
+    tr_ = np.asarray(res.cost_trace)
+    assert np.all(tr_[:, -1] <= tr_[:, 0] + 1e-6)

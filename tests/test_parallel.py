@@ -6,6 +6,9 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo import ppo
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.parallel import mesh as pmesh
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.parallel import train as ptrain
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy-compile suite (see pyproject addopts)
 
 
 def test_mesh_has_8_virtual_devices():

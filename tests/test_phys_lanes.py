@@ -12,6 +12,8 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import dynamics as dyn
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import terrain as tr
 
+pytestmark = pytest.mark.slow  # heavy-compile suite (see pyproject addopts)
+
 
 def _random_states(key, B):
     """Plausible perturbed stand states (some toes in contact)."""

@@ -14,6 +14,9 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.ops import phys_lanes as pl_
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.ops import phys_pallas as pp
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy-compile suite (see pyproject addopts)
 
 
 def test_pallas_substep_matches_lanes_interpret():

@@ -7,6 +7,8 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo import ppo
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo.gae import advantages
 
+pytestmark = pytest.mark.slow  # heavy-compile suite (see pyproject addopts)
+
 
 def numpy_gae(rewards, values, dones_after, last_value, gamma, lam):
     """Oracle port of the reference's backward loop (ppo2.py:554-568)."""

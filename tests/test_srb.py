@@ -3,10 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+
+pytestmark = pytest.mark.slow  # heavy-compile suite (see pyproject addopts)
 
 
 def _cfg():
