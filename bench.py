@@ -158,6 +158,8 @@ def _bench_control_mae(T: int = 200):
 
 
 def main():
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import profiling
+    profiling.enable_compile_cache()   # persistent .jax_cache across runs
     small = os.environ.get("BENCH_SMALL") == "1"
     srb_batch = 64 if small else 1024
     horizon = 10 if small else 50

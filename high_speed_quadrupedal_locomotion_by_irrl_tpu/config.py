@@ -47,6 +47,10 @@ class EnvConfig:
 
     # --- mode flags (Environment.hpp:1616-1629)
     terrain: bool = False
+    # sampled 500x20 m heightmap (the reference's Raisim grid,
+    # Environment.hpp:252-265) vs analytic fractal value noise; only
+    # meaningful when terrain=True
+    terrain_sampled: bool = True
     manual: bool = False
     crucial: bool = False               # meteorite-attack curriculum
     action_filter: bool = False         # yaml "Filter"

@@ -424,7 +424,11 @@ def env_init(cfg: EnvConfig, key: jax.Array,
     k_dr, k_tr, k_reset = jax.random.split(key, 3)
     params = (mdl.randomize(k_dr, cfg) if cfg.stochastic_dynamics
               else mdl.nominal_params(cfg))
-    terrain = tr.fractal(k_tr) if cfg.terrain else tr.flat()
+    if cfg.terrain:
+        terrain = (tr.sampled_fractal(k_tr) if cfg.terrain_sampled
+                   else tr.fractal(k_tr))
+    else:
+        terrain = tr.flat()
     zero = jnp.zeros(())
     blank = EnvState(
         gc=mdl.stand_gc(cfg.abad), gv=jnp.zeros(18), params=params, terrain=terrain,
@@ -494,7 +498,10 @@ def reset(cfg: EnvConfig, state: EnvState,
                    jax.random.uniform(k_xy, (2,), minval=-5.0, maxval=5.0))
 
     stand = mdl.stand_gc(cfg.abad)
-    gc = jnp.concatenate([xy, stand[2:3], stand[3:7],
+    z0 = stand[2:3]
+    if cfg.terrain:  # spawn stand-height above the local ground surface
+        z0 = z0 + tr.height(state.terrain, xy[0], xy[1])
+    gc = jnp.concatenate([xy, z0, stand[3:7],
                           jnp.where(cfg.manual, stand[7:], q0)])
     gv = jnp.concatenate([jnp.array([vx, vy, 0.0, 0.0, 0.0, wz]), qd0])
     gv = jnp.where(cfg.manual, jnp.zeros(18), gv)
@@ -616,23 +623,43 @@ def _pre_substeps(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
                    cube_mass=cube_mass, cube_active=cube_active), f_ext_extra
 
 
-def _pd_torque(cfg: EnvConfig, ptarget, torque_norm_last, gc_joints, gv_joints):
+def _pd_torque(cfg: EnvConfig, ptarget, torque_norm_last, gc_joints, gv_joints,
+               tau_ff=None, pd_scale=None):
     """Per-substep PD -> smoothing-quirk -> motor model -> envelope clamp.
 
-    Elementwise over trailing (12,), so it works per-env and batched (B, 12)."""
+    Elementwise over trailing (12,), so it works per-env and batched (B, 12).
+
+    ``tau_ff``/``pd_scale`` implement the Convert2Torque capability the
+    reference declares but never defines (Environment.hpp:1629, 2024): a
+    direct joint-torque feedforward (e.g. GRF-mapped stance torques from the
+    MPC) added after the PD smoothing quirk, with the PD feedback scaled by
+    ``pd_scale`` (0 = pure torque control, 1 = the default PD path). The
+    motor envelope clamp applies to the sum, so feedforward torques obey the
+    same actuator limits the policy faces."""
     gain_pattern = jnp.asarray(np.array([cfg.abad_ratio, 1.0, 1.0] * 4))
     kp_vec = cfg.stiffness * gain_pattern
     kd_vec = cfg.damping * gain_pattern
     tau = kp_vec * (ptarget - gc_joints) - kd_vec * gv_joints
+    if pd_scale is not None:
+        tau = tau * pd_scale
     tau = 0.99 * tau + 0.01 * torque_norm_last  # reference quirk, see notes
+    if tau_ff is not None:
+        tau = tau + tau_ff
     if cfg.motor_dynamics:
         tau = real_torque(tau, gv_joints)
     return torque_clamp(cfg, tau, gv_joints)
 
 
 def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
-         ref_table: jnp.ndarray | None = None) -> StepOut:
-    """One control step (= cfg.substeps physics substeps) with auto-reset."""
+         ref_table: jnp.ndarray | None = None,
+         tau_ff: jnp.ndarray | None = None,
+         pd_scale: jnp.ndarray | None = None) -> StepOut:
+    """One control step (= cfg.substeps physics substeps) with auto-reset.
+
+    ``tau_ff``/``pd_scale`` (both (12,), optional) expose the Convert2Torque
+    actuation path (see _pd_torque) — held constant over the control step's
+    substeps, the way an MPC running at the control rate commands a
+    lower-level torque loop."""
     key, k_act, k_cmd, k_obs, k_attack, k_reset = jax.random.split(state.key, 6)
 
     pre, f_ext_extra = _pre_substeps(cfg, state, action, k_act, k_attack)
@@ -641,7 +668,8 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
     # -- 8 physics substeps, PD torque recomputed from fresh state (:758-774)
     def substep(carry, _):
         gc, gv = carry
-        tau = _pd_torque(cfg, ptarget, state.torque_norm_last, gc[7:], gv[6:])
+        tau = _pd_torque(cfg, ptarget, state.torque_norm_last, gc[7:], gv[6:],
+                         tau_ff=tau_ff, pd_scale=pd_scale)
         qdd, diag = dyn.forward_dynamics(state.params, gc, gv, tau, base_wrench,
                                          state.terrain, cfg.contact_slip_vel,
                                          f_ext_extra=f_ext_extra,
@@ -758,10 +786,12 @@ def step_batch(cfg: EnvConfig, states: EnvState, actions: jnp.ndarray,
     persistent compilation cache (utils.profiling.enable_compile_cache) for
     production runs.
 
-    Fast-path restrictions (asserted): flat terrain, no meteorite spheres.
+    Fast-path restrictions (asserted): no meteorite spheres. Terrain is
+    supported through a per-lane ground-height lookup (vertical-normal
+    approximation, ops/phys_lanes._contact_point notes).
     """
-    assert not cfg.crucial and not cfg.terrain, \
-        "step_batch supports the flat/no-attack fast path; use vmap(step)"
+    assert not cfg.crucial, \
+        "step_batch supports the no-attack fast path; use vmap(step)"
     keys = jax.vmap(lambda k: jax.random.split(k, 6))(states.key)  # (B,6,2)
     key, k_act, k_cmd, k_obs, k_attack, k_reset = (keys[:, i] for i in range(6))
 
@@ -773,13 +803,19 @@ def step_batch(cfg: EnvConfig, states: EnvState, actions: jnp.ndarray,
     P = _lanes.params_to_lanes(states.params)
     impulse_scale = cfg.contact_impulse_mass / cfg.simulation_dt
     bwT = pre.base_wrench.T
+    if cfg.terrain:
+        terr = states.terrain  # batched leaves; tr.height broadcasts (B,)
+        ground_fn = lambda x, y: tr.height(terr, x, y)  # noqa: E731
+    else:
+        ground_fn = None
 
     def substep(carry, _):
         gcT, gvT = carry
         tau = _pd_torque(cfg, pre.ptarget, states.torque_norm_last,
                          gcT[7:].T, gvT[6:].T)               # (B,12)
         out = _lanes.substep(P, gcT, gvT, tau.T, bwT, cfg.contact_slip_vel,
-                             impulse_scale, cfg.simulation_dt)
+                             impulse_scale, cfg.simulation_dt,
+                             ground_fn=ground_fn)
         gc2T, gv2T, toe, toe_vel, fnorm, fnormal = out
         return (gc2T, gv2T), (tau, toe, toe_vel, fnorm, fnormal)
 

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.config import EnvConfig
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import gait
 
 
 class MPCRolloutLog(NamedTuple):
@@ -34,22 +36,43 @@ class MPCRolloutLog(NamedTuple):
     solve_cost: jnp.ndarray  # (T,) SRB tracking cost of each plan
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "scfg", "n_steps"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "scfg", "n_steps",
+                                    "torque_control", "stance_pd"))
 def mpc_rollout(cfg: EnvConfig, scfg: srb.SRBConfig, command: jnp.ndarray,
-                key: jax.Array, n_steps: int = 500) -> MPCRolloutLog:
-    """Closed-loop receding-horizon SRB-MPC rollout at a fixed command."""
+                key: jax.Array, n_steps: int = 500,
+                torque_control: bool = False,
+                stance_pd: float = 0.0) -> MPCRolloutLog:
+    """Closed-loop receding-horizon SRB-MPC rollout at a fixed command.
+
+    ``torque_control=True`` drives stance legs with GRF-mapped joint torques
+    directly (srb.grf_to_torque, the Convert2Torque path) while swing legs
+    PD-track the gait reference — the interface the Mini-Cheetah convex-MPC
+    stack actually deploys, and the fix for the PD-position interface's
+    limited stance force authority."""
     cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
                       stochastic_dynamics=False)
     state = bp.env_init(cfg, key)
     state = state._replace(command=command, command_filtered=command)
+    stand = mdl.stand_gc(cfg.abad)[7:]
 
     def scan_fn(state, _):
         prob = srb.make_problem(cfg, state.gc, state.gv, command,
                                 state.current_time)
         res = srb.solve(cfg, scfg, prob)
-        action = jnp.clip(res.us[0], -1.0, 1.0)
-        out = bp.step(cfg, state._replace(command=command,
-                                          command_filtered=command), action)
+        st = state._replace(command=command, command_filtered=command)
+        if torque_control:
+            sm0 = srb.stance_mask(cfg, state.current_time)
+            tau_ff, pd_scale = srb.grf_to_torque(
+                cfg, state.gc, res.forces[0], sm0, stance_pd)
+            xy_shift = scfg.raibert_gain * (prob.v_meas - command[:2])
+            q_ref = gait.gait_reference(cfg, command, state.current_time,
+                                        xy_shift).joint_ref
+            action = jnp.clip(q_ref - stand, -1.0, 1.0)
+            out = bp.step(cfg, st, action, tau_ff=tau_ff, pd_scale=pd_scale)
+        else:
+            action = jnp.clip(res.us[0], -1.0, 1.0)
+            out = bp.step(cfg, st, action)
         log = MPCRolloutLog(gc=out.state.gc, gv=out.state.gv, action=action,
                             reward=out.reward, done=out.done,
                             solve_cost=res.cost)

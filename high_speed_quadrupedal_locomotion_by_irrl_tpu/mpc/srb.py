@@ -314,6 +314,28 @@ def _grf_to_controls(cfg: EnvConfig, command, xy_shift, ts, forces, sm, yaw_ref)
     return jax.vmap(one_knot)(ts, forces, sm, yaw_ref)
 
 
+def grf_to_torque(cfg: EnvConfig, gc: jnp.ndarray, f_world: jnp.ndarray,
+                  sm: jnp.ndarray, stance_pd: float = 0.0):
+    """Convert2Torque: map the first-knot GRF plan to direct joint torques.
+
+    The capability the reference declares but never implements
+    (Environment.hpp:1629, 2024). Stance legs: tau = -J(q)' R' f — the
+    leg-jacobian transpose of the commanded ground-reaction force, evaluated
+    at the *measured* joint angles and full body orientation (not the
+    schedule), which is what a real low-level leg controller does. Swing
+    legs keep full PD. Returns ``(tau_ff (12,), pd_scale (12,))`` for
+    envs.blackpanther.step; ``stance_pd`` leaves a fraction of PD feedback
+    on stance legs (0 = pure force control)."""
+    R = quat_to_matrix(gc[3:7])
+    f_body = jnp.einsum("ij,li->lj", R, f_world)             # R^T f: world->body
+    q = gc[7:].reshape(4, 3)
+    J = jax.vmap(jax.jacfwd(lambda qq, i: kin.leg_fk(qq, i)), in_axes=(0, 0))(
+        q, jnp.asarray(mdl.IS_RIGHT))                        # (4,3,3)
+    tau = -jnp.einsum("lij,li->lj", J, f_body) * sm[:, None]  # (4,3)
+    pd_scale = jnp.repeat(1.0 - (1.0 - stance_pd) * sm, 3)    # (12,)
+    return tau.reshape(12), pd_scale
+
+
 def batched_solve(cfg: EnvConfig, scfg: SRBConfig, probs: SRBProblem) -> SRBResult:
     """vmap over problems: thousands of simultaneous solves per chip."""
     return jax.vmap(functools.partial(solve, cfg, scfg))(probs)

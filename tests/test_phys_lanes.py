@@ -122,3 +122,51 @@ def test_step_batch_matches_vmap_step():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(fast.state.gv), np.asarray(ref.state.gv),
                                atol=2e-2)
+
+
+def test_substep_terrain_translation_invariance():
+    """Lanes terrain support: with a constant ground height h, the dynamics
+    must equal the flat-ground dynamics of a robot translated by +h (the
+    physics is z-translation-invariant except through contact)."""
+    B = 8
+    cfg, gc, gv, tau = _random_states(jax.random.PRNGKey(3), B)
+    params = mdl.nominal_params(cfg)
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+    P = pl.params_to_lanes(pb)
+    bw = jnp.zeros((B, 6))
+    dt = cfg.simulation_dt
+    h = -0.07
+
+    flat_fn = jax.jit(lambda *a: pl.substep(
+        P, *a, slip_vel=cfg.contact_slip_vel, impulse_scale=0.0, dt=dt))
+    terr_fn = jax.jit(lambda *a: pl.substep(
+        P, *a, slip_vel=cfg.contact_slip_vel, impulse_scale=0.0, dt=dt,
+        ground_fn=lambda x, y: jnp.full_like(x, h)))
+
+    gc_shift = gc.at[:, 2].add(h)
+    gc2_f, gv2_f, *_ = flat_fn(gc.T, gv.T, tau.T, bw.T)
+    gc2_t, gv2_t, *_ = terr_fn(gc_shift.T, gv.T, tau.T, bw.T)
+
+    # states equal up to the rigid z shift
+    np.testing.assert_allclose(np.asarray(gc2_t.T[:, 2] - h),
+                               np.asarray(gc2_f.T[:, 2]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc2_t.T[:, 3:]),
+                               np.asarray(gc2_f.T[:, 3:]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv2_t.T), np.asarray(gv2_f.T),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_substep_sampled_terrain_runs():
+    """Batched sampled-heightmap lookup inside the lanes substep."""
+    B = 8
+    cfg, gc, gv, tau = _random_states(jax.random.PRNGKey(4), B)
+    params = mdl.nominal_params(cfg)
+    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
+    P = pl.params_to_lanes(pb)
+    tps = jax.vmap(tr.sampled_fractal)(jax.random.split(jax.random.PRNGKey(5), B))
+    fn = jax.jit(lambda *a: pl.substep(
+        P, *a, slip_vel=cfg.contact_slip_vel, impulse_scale=0.0,
+        dt=cfg.simulation_dt, ground_fn=lambda x, y: tr.height(tps, x, y)))
+    gc2, gv2, *_ = fn(gc.T, gv.T, tau.T, jnp.zeros((B, 6)).T)
+    assert np.isfinite(np.asarray(gc2)).all()
+    assert np.isfinite(np.asarray(gv2)).all()
