@@ -18,6 +18,7 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from high_speed_quadrupedal_locomotion_by_irrl_tpu import config as cfg_mod
@@ -41,6 +42,15 @@ def parse_args(argv):
     p.add_argument("--delay", type=str, default=None,
                    help="comma-separated latency sweep in control steps")
     p.add_argument("--save-data", type=str, default=None, help="npy dump dir")
+    p.add_argument("--kappa", action="store_true",
+                   help="disturbance-recovery rate fits (Figure4 robustness)")
+    p.add_argument("--kick", type=float, default=1.0,
+                   help="lateral velocity kick [m/s] for --kappa")
+    p.add_argument("--landscape", type=str, default=None, metavar="MODEL_B,MODEL_C",
+                   help="reward-landscape sweep over the parameter simplex "
+                        "spanned by --model and two more controllers; writes "
+                        "total_reward.txt + ternary panels next to --save-data")
+    p.add_argument("--landscape-step", type=float, default=0.05)
     p.add_argument("--teleop", action="store_true",
                    help="interactive teleop loop (gamepad if present, else "
                         "scripted schedule) — the reference's Manual test mode")
@@ -169,6 +179,36 @@ def main(argv=None):
         corr = ev.lstm_state_correlation(cfg, params, args.vx, key, args.steps)
         results["lstm_corr_mean_abs"] = float(np.abs(corr).mean())
         print(f"LSTM state |corr| mean: {results['lstm_corr_mean_abs']:.3f}")
+    if args.kappa:
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
+            robustness as rb,
+        )
+        cmds = [float(c) for c in args.commands.split(",")]
+        rows = rb.recovery_sweep(cfg, params, cmds, [args.kick], key)
+        results["recovery"] = rows
+        for r in rows:
+            print(f"cmd {r['command']:.1f} kick {r['kick']:.1f} m/s -> "
+                  f"kappa {r['kappa']:+.2f} log_e/s (r2 {r['r2']:.2f}, "
+                  f"{'survived' if r['survived'] else 'FELL'})")
+    if args.landscape:
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
+            figures, landscape as ls,
+        )
+        paths = args.landscape.split(",")
+        others = [mio.load_bp5_csv(p) if os.path.isdir(p)
+                  else mio.load_checkpoint(p)[0][0] for p in paths]
+        res = ls.reward_landscape(cfg, params, others[0], others[1],
+                                  jnp.array([args.vx, 0.0, 0.0]),
+                                  step=args.landscape_step, key=key)
+        out_dir = args.save_data or "."
+        os.makedirs(out_dir, exist_ok=True)
+        ls.save_total_reward(os.path.join(out_dir, "total_reward.txt"), cfg, res)
+        comps = ls.composites(cfg, res["terms"])
+        figures.ternary_landscape_figure(
+            res, comps, os.path.join(out_dir, "reward_landscape.png"))
+        results["landscape_points"] = len(res["w"])
+        print(f"landscape: {len(res['w'])} blends -> "
+              f"{out_dir}/total_reward.txt + reward_landscape.png")
     if args.delay:
         delays = [int(d) for d in args.delay.split(",")]
         results["latency"] = ev.latency_sweep(cfg, params, args.vx, delays, key, args.steps)

@@ -47,7 +47,8 @@ def load_bp5_csv(path: str, n_lstm: Sequence[int] = (48, 48),
         v_stack = tuple(
             LSTMWeights(wx=ld(f"v_lstm_wx{i}"), wh=ld(f"v_lstm_wh{i}"), b=ld(f"v_lstm_b{i}"))
             for i in range(len(n_lstm)))
-        vf_w, vf_b = ld("v_w"), jnp.atleast_1d(ld("v_b"))
+        # savetxt writes the (h, 1) head as one column; restore the 2-d shape
+        vf_w, vf_b = ld("v_w").reshape(-1, 1), jnp.atleast_1d(ld("v_b"))
     else:
         v_stack, vf_w, vf_b = blank.v_lstm, blank.vf_w, blank.vf_b
     # logstd is not part of the reference's deployment export

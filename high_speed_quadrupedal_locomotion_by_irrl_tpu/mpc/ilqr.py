@@ -164,3 +164,195 @@ def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
         iteration, (u_init, xs0, c0, jnp.asarray(reg), A0, B0),
         jnp.arange(n_iter), length=n_iter)
     return ILQRResult(us=us, xs=xs, cost=cost, cost_trace=trace)
+
+
+def solve_batch(dynamics_b: Callable, cost_fn: Callable, term_cost_fn: Callable,
+                x0s: jnp.ndarray, u_inits: jnp.ndarray,
+                stage_args, term_args, n_iter: int = 8, reg: float = 1e-6,
+                lin_chunk: int = 0, n_alphas: int = 8,
+                relin_every: int = 1, fd_eps: float = 1e-3) -> ILQRResult:
+    """Batched iLQR where the *dynamics batch* is the TPU lane axis.
+
+    The per-problem :func:`solve` above vmaps tiny dense physics over
+    problems — each op works on (B, small...) tensors whose trailing dims
+    waste the vector lanes (the same pathology ops/phys_lanes.py fixes for
+    the env). Here the dynamics is a single *batched* callable
+    ``dynamics_b: (K, n), (K, m) -> (K, n)`` (e.g. the lanes physics of
+    trot.make_dynamics_batch) and every stage of the solver feeds it the
+    widest batch available:
+
+    - linearization: all (n+m) jacobian tangents of all problems of a
+      horizon chunk ride one call — K = B x chunk x (n+m+1) lanes of
+      physics per step instead of one env per op;
+    - forward line search: all step sizes of all problems together,
+      K = B x n_alphas;
+    - the Riccati recursion stays a scan over T with problems vmapped
+      (it is small dense algebra, MXU-friendly as (B, n, n) batmuls).
+
+    cost_fn: (n,), (m,), stage_arg -> () per sample; ``stage_args`` is a
+    pytree with leaves (B, T, ...) (e.g. per-knot references).
+    term_cost_fn: (n,), term_arg -> (); ``term_args`` leaves (B, ...).
+    lin_chunk: horizon knots linearized per scan block (0 = all at once);
+    the memory/time trade of solve()'s linearize_chunk, at lane width.
+    fd_eps > 0: linearize by *central finite differences* — 2(n+m) forward
+    evaluations of dynamics_b per knot, all batched into one lane-wide call
+    (the standard iLQG practice, e.g. MuJoCo's derivative workers).
+    Forward-mode AD through the ~20k-op unrolled lanes graph makes the XLA
+    compiler blow past 100 GB (measured: OOM at every graph size), while the
+    FD sweep reuses the already-compilable forward graph with a bigger
+    batch; the O(h^2) truncation error is far below the Levenberg
+    regularization scale. fd_eps=0 selects AD (jax.linearize) for small
+    dense dynamics.
+    """
+    B, T, m = u_inits.shape
+    n = x0s.shape[-1]
+    alphas = 0.5 ** jnp.arange(n_alphas)
+    C = T if lin_chunk == 0 else lin_chunk
+    assert T % C == 0, (T, C)
+
+    stage_t = lambda t: jax.tree.map(lambda a: a[:, t], stage_args)  # noqa: E731
+    cost_b = jax.vmap(cost_fn)            # (B,n),(B,m),arg_b -> (B,)
+    term_b = jax.vmap(term_cost_fn)
+
+    cx_fn = jax.vmap(jax.grad(cost_fn, argnums=0))
+    cu_fn = jax.vmap(jax.grad(cost_fn, argnums=1))
+    cxx_fn = jax.vmap(jax.hessian(cost_fn, argnums=0))
+    cuu_fn = jax.vmap(jax.hessian(cost_fn, argnums=1))
+    cux_fn = jax.vmap(jax.jacfwd(jax.grad(cost_fn, argnums=1), argnums=0))
+    vx_fn = jax.vmap(jax.grad(term_cost_fn))
+    vxx_fn = jax.vmap(jax.hessian(term_cost_fn))
+
+    def _rollout_b(us):                   # (B,T,m) -> (B,T+1,n)
+        def f(x, u):
+            x2 = dynamics_b(x, u)
+            return x2, x2
+        _, xs = jax.lax.scan(f, x0s, jnp.swapaxes(us, 0, 1))
+        return jnp.concatenate([x0s[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
+
+    def _total_cost_b(xs, us):            # -> (B,)
+        def f(acc, t):
+            return acc + cost_b(xs[:, t], us[:, t], stage_t(t)), None
+        acc, _ = jax.lax.scan(f, jnp.zeros(B), jnp.arange(T))
+        return acc + term_b(xs[:, -1], term_args)
+
+    def _linearize(xs, us):
+        """-> A (B,T,n,n), Bm (B,T,n,m) (see fd_eps in the docstring)."""
+        eye = jnp.eye(n + m)
+
+        if fd_eps > 0.0:
+            def block(_, inp):
+                X, U = inp                # (C*B, n), (C*B, m)
+                def pert(e, sign):
+                    dX = X + sign * fd_eps * e[:n]
+                    dU = U + sign * fd_eps * e[n:]
+                    return dynamics_b(dX, dU)          # (C*B, n)
+                fp = jax.vmap(lambda e: pert(e, 1.0))(eye)    # (n+m, C*B, n)
+                fm = jax.vmap(lambda e: pert(e, -1.0))(eye)
+                J = (fp - fm) / (2.0 * fd_eps)
+                return None, J.transpose(1, 2, 0)      # (C*B, n, n+m)
+        else:
+            def block(_, inp):
+                X, U = inp                # (C*B, n), (C*B, m)
+                _, jvp_fn = jax.linearize(dynamics_b, X, U)
+                def one(e):
+                    dx = jnp.broadcast_to(e[:n], X.shape)
+                    du = jnp.broadcast_to(e[n:], U.shape)
+                    return jvp_fn(dx, du)  # (C*B, n)
+                J = jax.vmap(one)(eye)    # (n+m, C*B, n)
+                return None, J.transpose(1, 2, 0)   # (C*B, n, n+m)
+
+        # (B,T,·) -> (T//C, C*B, ·) blocks along the horizon
+        resh = lambda a: (jnp.swapaxes(a, 0, 1)          # noqa: E731
+                          .reshape((T // C, C * B) + a.shape[2:]))
+        _, J = jax.lax.scan(block, None, (resh(xs[:, :-1]), resh(us)))
+        J = J.reshape(T // C, C, B, n, n + m).reshape(T, B, n, n + m)
+        J = jnp.swapaxes(J, 0, 1)                        # (B,T,n,n+m)
+        return J[..., :n], J[..., n:]
+
+    def iteration(carry, it):
+        us, xs, best_cost, lam, A_prev, B_prev = carry
+
+        if relin_every > 1:
+            A, Bm = jax.lax.cond(it % relin_every == 0,
+                                 lambda: _linearize(xs, us),
+                                 lambda: (A_prev, B_prev))
+        else:
+            A, Bm = _linearize(xs, us)
+
+        def quad(t):
+            x_t, u_t, a_t = xs[:, t], us[:, t], stage_t(t)
+            return (cx_fn(x_t, u_t, a_t), cu_fn(x_t, u_t, a_t),
+                    cxx_fn(x_t, u_t, a_t), cuu_fn(x_t, u_t, a_t),
+                    cux_fn(x_t, u_t, a_t))
+        cx, cu, cxx, cuu, cux = jax.vmap(quad, out_axes=1)(jnp.arange(T))
+
+        def backward_knot(carry, inp):
+            Vx, Vxx = carry               # (B,n), (B,n,n)
+            A_t, B_t, cx_t, cu_t, cxx_t, cuu_t, cux_t = inp
+
+            def one(Vx, Vxx, A_t, B_t, cx_t, cu_t, cxx_t, cuu_t, cux_t, lam_b):
+                Qx = cx_t + A_t.T @ Vx
+                Qu = cu_t + B_t.T @ Vx
+                Qxx = cxx_t + A_t.T @ Vxx @ A_t
+                Quu = cuu_t + B_t.T @ Vxx @ B_t + lam_b * jnp.eye(m)
+                Qux = cux_t + B_t.T @ Vxx @ A_t
+                L = jnp.linalg.cholesky(Quu + 1e-9 * jnp.eye(m))
+                k = -jax.scipy.linalg.cho_solve((L, True), Qu)
+                K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+                Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
+                Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+                return Vx_new, 0.5 * (Vxx_new + Vxx_new.T), k, K
+
+            Vx2, Vxx2, k, K = jax.vmap(one)(Vx, Vxx, A_t, B_t, cx_t, cu_t,
+                                            cxx_t, cuu_t, cux_t, lam)
+            return (Vx2, Vxx2), (k, K)
+
+        V0 = (vx_fn(xs[:, -1], term_args), vxx_fn(xs[:, -1], term_args))
+        swap = lambda a: jnp.swapaxes(a, 0, 1)           # noqa: E731
+        _, (ks, Ks) = jax.lax.scan(
+            backward_knot, V0,
+            tuple(swap(a) for a in (A, Bm, cx, cu, cxx, cuu, cux)),
+            reverse=True)
+        ks, Ks = swap(ks), swap(Ks)                      # (B,T,m), (B,T,m,n)
+
+        # --- parallel line search: batch = alphas x problems through the
+        # lanes dynamics in one call
+        AB = n_alphas * B
+        x0_w = jnp.broadcast_to(x0s, (n_alphas, B, n)).reshape(AB, n)
+
+        def fwd_knot(x, t):
+            # x: (AB, n); gains/refs broadcast over the alpha axis
+            xr = x.reshape(n_alphas, B, n)
+            du = (alphas[:, None, None] * ks[:, t][None] +
+                  jnp.einsum("bmn,abn->abm", Ks[:, t], xr - xs[:, t][None]))
+            u = us[:, t][None] + du                      # (a,B,m)
+            x2 = dynamics_b(x, u.reshape(AB, m))
+            return x2, (u.reshape(AB, m), x2)
+        _, (us_w, xs_w) = jax.lax.scan(fwd_knot, x0_w, jnp.arange(T))
+        us_w = jnp.swapaxes(us_w, 0, 1).reshape(n_alphas, B, T, m)
+        xs_w = jnp.swapaxes(xs_w, 0, 1).reshape(n_alphas, B, T, n)
+        xs_w = jnp.concatenate(
+            [jnp.broadcast_to(x0s, (n_alphas, B, n))[:, :, None], xs_w], axis=2)
+
+        costs = jax.vmap(_total_cost_b)(xs_w, us_w)      # (a, B)
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+        best = jnp.argmin(costs, axis=0)                 # (B,)
+        bcost = jnp.take_along_axis(costs, best[None], axis=0)[0]
+        improved = bcost < best_cost                     # (B,)
+        pick = lambda w, old: jnp.where(                 # noqa: E731
+            improved[:, None, None],
+            jnp.take_along_axis(w, best[None, :, None, None], axis=0)[0], old)
+        us2 = pick(us_w, us)
+        xs2 = pick(xs_w, xs)
+        new_cost = jnp.where(improved, bcost, best_cost)
+        lam2 = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-8), lam * 10.0)
+        return (us2, xs2, new_cost, lam2, A, Bm), new_cost
+
+    xs0 = _rollout_b(u_inits)
+    c0 = _total_cost_b(xs0, u_inits)
+    A0 = jnp.zeros((B, T, n, n))
+    B0 = jnp.zeros((B, T, n, m))
+    (us, xs, cost, _, _, _), trace = jax.lax.scan(
+        iteration, (u_inits, xs0, c0, jnp.full(B, reg), A0, B0),
+        jnp.arange(n_iter), length=n_iter)
+    return ILQRResult(us=us, xs=xs, cost=cost, cost_trace=jnp.swapaxes(trace, 0, 1))

@@ -66,7 +66,13 @@ def mpc_rollout(cfg: EnvConfig, scfg: srb.SRBConfig, command: jnp.ndarray,
             tau_ff, pd_scale = srb.grf_to_torque(
                 cfg, state.gc, res.forces[0], sm0, stance_pd)
             xy_shift = scfg.raibert_gain * (prob.v_meas - command[:2])
-            q_ref = gait.gait_reference(cfg, command, state.current_time,
+            # swing tracking must follow the same schedule the solver
+            # planned stance forces for (command- or measured-paced)
+            if scfg.measured_sweep:
+                sched_cmd = jnp.concatenate([prob.v_meas, command[2:3]])
+            else:
+                sched_cmd = command
+            q_ref = gait.gait_reference(cfg, sched_cmd, state.current_time,
                                         xy_shift).joint_ref
             action = jnp.clip(q_ref - stand, -1.0, 1.0)
             out = bp.step(cfg, st, action, tau_ff=tau_ff, pd_scale=pd_scale)

@@ -37,6 +37,11 @@ class MPCConfig:
     linearize_chunk: int = 1
     n_alphas: int = 8       # parallel line-search widths
     relin_every: int = 1    # jacobian reuse interval (ilqr.solve notes)
+    fd_eps: float = 3e-4    # central-FD step for the lanes-batched solver
+                            # (ilqr.solve_batch notes; 3e-4 balances f32
+                            # rounding vs contact-stiffness smearing —
+                            # measured 1e-4 noise-limited, 1e-3 smear-limited);
+                            # 0 = AD (compile-infeasible through lanes)
     weights: mcost.CostWeights = dataclasses.field(default_factory=mcost.imitation_weights)
 
 
@@ -111,6 +116,76 @@ def batched_solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params_batch: mdl.RobotPar
                   probs: TrotProblem) -> ilqr.ILQRResult:
     """vmap over scenarios; params_batch may be per-scenario (domain-randomized)."""
     return jax.vmap(functools.partial(solve, cfg, mpc_cfg))(params_batch, probs)
+
+
+def make_dynamics_batch(cfg: EnvConfig, mpc_cfg: MPCConfig,
+                        params: mdl.RobotParams):
+    """Batched control-step dynamics (K, 37), (K, 12) -> (K, 37) on the
+    batch-in-lanes physics (ops/phys_lanes.substep) — every "scalar" of the
+    substep is a (K,)-wide lane vector, so K = problems x jacobian-tangents
+    (or problems x line-search alphas) rides the TPU at full width instead
+    of one tiny dense env per vmap instance. ``params`` is the *nominal*
+    (unbatched) model: params_to_lanes then yields scalar leaves that
+    broadcast over the lane axis for free."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.ops import phys_lanes as lanes
+
+    P = lanes.params_to_lanes(params)
+    sub_dt = cfg.control_dt / mpc_cfg.model_substeps
+    action_mean = mdl.stand_gc(cfg.abad)[7:]
+    gains = jnp.asarray([cfg.abad_ratio, 1.0, 1.0] * 4)
+    kp, kd = cfg.stiffness * gains, cfg.damping * gains
+
+    def step(xs, us):
+        gcT, gvT = xs[:, :19].T, xs[:, 19:].T            # (19,K), (18,K)
+        ptT = (us + action_mean).T                       # (12,K)
+        bwT = jnp.zeros((6,) + gcT.shape[1:], gcT.dtype)
+
+        def sub(carry, _):
+            gcT, gvT = carry
+            tau = kp[:, None] * (ptT - gcT[7:]) - kd[:, None] * gvT[6:]
+            tau = torque_clamp(cfg, tau.T, gvT[6:].T).T
+            g2, v2, *_ = lanes.substep(P, gcT, gvT, tau, bwT,
+                                       cfg.contact_slip_vel, 0.0, sub_dt)
+            return (g2, v2), None
+
+        (gcT, gvT), _ = jax.lax.scan(sub, (gcT, gvT), None,
+                                     length=mpc_cfg.model_substeps)
+        return jnp.concatenate([gcT.T, gvT.T], axis=1)
+
+    return step
+
+
+def solve_batch_lanes(cfg: EnvConfig, mpc_cfg: MPCConfig,
+                      params: mdl.RobotParams,
+                      probs: TrotProblem) -> ilqr.ILQRResult:
+    """Whole-body iLQR over a problem batch on the lanes physics.
+
+    Same optimization as :func:`batched_solve` (tested for cost parity) but
+    the physics lane width is problems x 49 tangents during linearization
+    and problems x n_alphas during the line search, instead of per-problem
+    vmap instances of tiny dense ops."""
+    dynamics_b = make_dynamics_batch(cfg, mpc_cfg, params)
+    w = mpc_cfg.weights
+
+    def cost_fn(x, u, arg):
+        jref, jdref, command = arg
+        return mcost.stage_cost(cfg, w, x, u, jref, jdref, command)
+
+    def term_fn(x, arg):
+        jref_last, command = arg
+        return mcost.terminal_cost(cfg, w, x, jref_last, command)
+
+    B, T = probs.joint_refs.shape[:2]
+    cmd_bt = jnp.broadcast_to(probs.command[:, None], (B, T, 3))
+    stage_args = (probs.joint_refs, probs.joint_dot_refs, cmd_bt)
+    term_args = (probs.joint_refs[:, -1], probs.command)
+    u_inits = probs.joint_refs - mdl.stand_gc(cfg.abad)[7:]
+    return ilqr.solve_batch(dynamics_b, cost_fn, term_fn, probs.x0, u_inits,
+                            stage_args, term_args, n_iter=mpc_cfg.n_iter,
+                            lin_chunk=mpc_cfg.linearize_chunk,
+                            n_alphas=mpc_cfg.n_alphas,
+                            relin_every=mpc_cfg.relin_every,
+                            fd_eps=mpc_cfg.fd_eps)
 
 
 def standing_x0(cfg: EnvConfig) -> jnp.ndarray:

@@ -166,3 +166,42 @@ def test_srb_vs_bp5_parity_report():
     assert np.isfinite(r["mae"]) and r["mae"] < 1.0
     assert r["srb_actions"].shape == (20, 12)
     assert {"mae_stance", "mae_swing"} <= set(r)
+
+
+def test_receding_horizon_mpc_torque_control_stands():
+    """Convert2Torque closed loop: pure GRF-mapped stance torques hold a
+    stable stand (validates the tau_ff/pd_scale actuation path end-to-end:
+    solver forces -> jacobian-transpose torques -> envelope clamp -> contact)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime
+
+    cfg = _cfg().replace(crucial=False, terrain=False)
+    log = runtime.mpc_rollout(cfg, srb.SRBConfig(horizon=16), jnp.zeros(3),
+                              jax.random.PRNGKey(0), 150, torque_control=True)
+    gc = np.asarray(log.gc)
+    assert int(np.asarray(log.done).sum()) == 0
+    assert gc[:, 2].min() > 0.25 and gc[:, 2].max() < 0.40
+
+
+def test_grf_to_torque_supports_weight():
+    """Standing GRFs (weight/4 up per leg) map to knee torques that oppose
+    gravity: the sum of vertical foot forces reproduces the commanded load
+    through tau = -J^T R^T f with the URDF jacobians."""
+    cfg = _cfg()
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+
+    gc = mdl.stand_gc(cfg.abad)
+    m, _ = srb._srb_constants(cfg.abad)
+    f = jnp.tile(jnp.array([0.0, 0.0, m * 9.81 / 4]), (4, 1))
+    tau, pd_scale = srb.grf_to_torque(cfg, gc, f, jnp.ones(4))
+    tau = np.asarray(tau).reshape(4, 3)
+    # stance pd fully off
+    np.testing.assert_allclose(np.asarray(pd_scale), 0.0)
+    # knee torques all same sign and nontrivial (supporting ~22 N per leg
+    # through the 0.2 m shank moment arm)
+    assert np.all(np.abs(tau[:, 2]) > 1.0)
+    assert len(np.unique(np.sign(tau[:, 2]))) <= 2  # symmetric legs
+    # abduction torque carries the toe's lateral offset moment:
+    # |tau_abad| = fz * L_HIP = (m g / 4) * 0.085, mirrored left/right
+    expect = float(m) * 9.81 / 4 * 0.085
+    np.testing.assert_allclose(np.abs(tau[:, 0]), expect, rtol=0.05)
+    assert abs(tau[:, 0].sum()) < 1e-3  # mirrored signs cancel
