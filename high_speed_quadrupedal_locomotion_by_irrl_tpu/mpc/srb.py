@@ -71,7 +71,27 @@ class SRBConfig:
     # velocity self-stalls (measured_sweep=True reproduces that failure;
     # kept for study).
     raibert_gain: float = 0.03
-    measured_sweep: bool = False
+    measured_sweep: bool = False   # legacy alias for sweep_mode="measured"
+    # how the gait schedule (stance sweep + footholds) is paced:
+    #  "command"  — by the commanded velocity (feet outrun the body when
+    #               slow -> kinetic-friction-limited, the round-1 plateau)
+    #  "measured" — by the measured velocity (self-stalls from rest: no
+    #               sweep -> no kinematic propulsion to bootstrap)
+    #  "planned"  — by the accel-ramped reference velocity at mid-horizon:
+    #               the schedule leads the body by exactly what the force
+    #               plan can deliver (the fix for both failure modes)
+    sweep_mode: str = "command"
+    sweep_gain: float = 1.0        # scales the sweep pace (>1 adds slip
+                                   # margin for the regularized friction)
+    touchdown_match: bool = False  # MPC-grade gait profile: linear stance
+                                   # sweep + late-swing retraction
+                                   # (robot.gait.toe_targets notes)
+    # feasible-acceleration ramp for the velocity reference [m/s^2]:
+    # an instant v=cmd step reference makes the TV-LQR slam single legs into
+    # the friction-cone/fz_max corner (measured: 219 N vertical on one leg
+    # from rest -> hopping); ramping from the measured velocity keeps the
+    # plan inside the cone. 0 disables (the old step reference).
+    accel_ramp: float = 4.0
 
 
 class SRBProblem(NamedTuple):
@@ -132,9 +152,10 @@ def stance_mask(cfg: EnvConfig, t: jnp.ndarray) -> jnp.ndarray:
 
 def foot_positions_body(cfg: EnvConfig, command: jnp.ndarray,
                         t: jnp.ndarray,
-                        xy_shift: jnp.ndarray | None = None) -> jnp.ndarray:
+                        xy_shift: jnp.ndarray | None = None,
+                        touchdown_match: bool = False) -> jnp.ndarray:
     """(4,3) scheduled foot positions relative to the body center (body frame)."""
-    toe = gait.toe_targets(cfg, command, t)          # hip-frame targets
+    toe = gait.toe_targets(cfg, command, t, touchdown_match)  # hip-frame targets
     if xy_shift is not None:
         toe = toe.at[:, 0].add(xy_shift[0]).at[:, 1].add(xy_shift[1])
     return toe + jnp.asarray(mdl.EE_OFFSET)
@@ -155,7 +176,8 @@ def _knot_matrices(cfg: EnvConfig, scfg: SRBConfig, sched_cmd, xy_shift,
     I_w_inv = Rz @ I_inv @ Rz.T
 
     r = jnp.einsum("ij,lj->li", Rz,
-                   foot_positions_body(cfg, sched_cmd, t, xy_shift))  # (4,3)
+                   foot_positions_body(cfg, sched_cmd, t, xy_shift,
+                                       scfg.touchdown_match))  # (4,3)
     sm = stance_mask(cfg, t)
 
     z33 = jnp.zeros((3, 3))
@@ -181,7 +203,7 @@ def _knot_matrices(cfg: EnvConfig, scfg: SRBConfig, sched_cmd, xy_shift,
 
 
 def _reference_states(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem):
-    """(T+1, 13) reference trajectory from the command."""
+    """(T+1, 13) reference trajectory from the command (accel-ramped)."""
     dt = cfg.control_dt * scfg.decimation
     T = scfg.horizon
     ts = jnp.arange(T + 1) * dt
@@ -190,6 +212,12 @@ def _reference_states(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem):
     v_world = jnp.stack([vx * jnp.cos(yaw) - vy * jnp.sin(yaw),
                          vx * jnp.sin(yaw) + vy * jnp.cos(yaw),
                          jnp.zeros_like(yaw)], axis=-1)
+    if scfg.accel_ramp > 0.0:
+        # decay the initial velocity error at a feasible rate (see SRBConfig)
+        e0 = v_world[0] - prob.x0[9:12]
+        shrink = jnp.maximum(jnp.abs(e0)[None] - scfg.accel_ramp * ts[:, None],
+                             0.0)
+        v_world = v_world - jnp.sign(e0)[None] * shrink
     p0 = prob.x0[3:6]
     p = p0[None] + jnp.cumsum(
         jnp.concatenate([jnp.zeros((1, 3)), v_world[:-1] * dt]), axis=0)
@@ -226,6 +254,24 @@ def _project_cone(f: jnp.ndarray, sm: jnp.ndarray, mu: float,
     return jnp.stack([fx, fy, fz], axis=-1) * sm[:, None]
 
 
+def sweep_command(cfg: EnvConfig, scfg: SRBConfig,
+                  prob: SRBProblem) -> jnp.ndarray:
+    """(3,) velocity that paces the gait schedule (see SRBConfig.sweep_mode).
+    Shared by solve() and the closed-loop runtime so the stance-force plan
+    and the swing-leg references always follow the same schedule."""
+    mode = "measured" if scfg.measured_sweep else scfg.sweep_mode
+    if mode == "measured":
+        v = prob.v_meas
+    elif mode == "planned":
+        t_mid = 0.5 * scfg.horizon * cfg.control_dt * scfg.decimation
+        e = prob.command[:2] - prob.v_meas
+        v = prob.v_meas + jnp.sign(e) * jnp.minimum(jnp.abs(e),
+                                                    scfg.accel_ramp * t_mid)
+    else:
+        v = prob.command[:2]
+    return jnp.concatenate([v * scfg.sweep_gain, prob.command[2:3]])
+
+
 def solve(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem) -> SRBResult:
     """One affine TV-LQR sweep + friction-cone projection + forward rollout."""
     m, I_body = _srb_constants(cfg.abad)
@@ -237,10 +283,7 @@ def solve(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem) -> SRBResult:
     yaw_ref = prob.yaw0 + prob.command[2] * jnp.arange(T) * dt
 
     xy_shift = scfg.raibert_gain * (prob.v_meas - prob.command[:2])
-    if scfg.measured_sweep:
-        sched_cmd = jnp.concatenate([prob.v_meas, prob.command[2:3]])
-    else:
-        sched_cmd = prob.command
+    sched_cmd = sweep_command(cfg, scfg, prob)
     A, B, sm, r = jax.vmap(
         lambda t, y: _knot_matrices(cfg, scfg, sched_cmd, xy_shift, t, y, m, I_inv)
     )(ts, yaw_ref)                                   # (T,13,13), (T,13,12), (T,4), (T,4,3)
@@ -290,11 +333,13 @@ def solve(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem) -> SRBResult:
     err = xs - x_ref
     cost = 0.5 * jnp.einsum("ti,ij,tj->", err, Q, err) * dt
 
-    us = _grf_to_controls(cfg, sched_cmd, xy_shift, ts, forces, sm, yaw_ref)
+    us = _grf_to_controls(cfg, sched_cmd, xy_shift, ts, forces, sm, yaw_ref,
+                          scfg.touchdown_match)
     return SRBResult(forces=forces, xs=xs, us=us, cost=cost)
 
 
-def _grf_to_controls(cfg: EnvConfig, command, xy_shift, ts, forces, sm, yaw_ref):
+def _grf_to_controls(cfg: EnvConfig, command, xy_shift, ts, forces, sm, yaw_ref,
+                     touchdown_match: bool = False):
     """GRF plan -> normalized PD-target sequence comparable to bp5 actions.
 
     Swing legs: pure gait-reference tracking (u = q_ref - stand), exactly the
@@ -304,7 +349,8 @@ def _grf_to_controls(cfg: EnvConfig, command, xy_shift, ts, forces, sm, yaw_ref)
     gains = jnp.asarray([cfg.abad_ratio, 1.0, 1.0] * 4) * cfg.stiffness
 
     def one_knot(t, f, sm_t, yaw):
-        q_ref = gait.gait_reference(cfg, command, t, xy_shift).joint_ref  # (12,)
+        q_ref = gait.gait_reference(cfg, command, t, xy_shift,
+                                    touchdown_match).joint_ref  # (12,)
         f_body = jnp.einsum("ij,li->lj", _rz(yaw), f)               # world->body
         J = jax.vmap(jax.jacfwd(lambda q, i: kin.leg_fk(q, i)), in_axes=(0, 0))(
             q_ref.reshape(4, 3), jnp.asarray(mdl.IS_RIGHT))         # (4,3,3)
@@ -315,7 +361,8 @@ def _grf_to_controls(cfg: EnvConfig, command, xy_shift, ts, forces, sm, yaw_ref)
 
 
 def grf_to_torque(cfg: EnvConfig, gc: jnp.ndarray, f_world: jnp.ndarray,
-                  sm: jnp.ndarray, stance_pd: float = 0.0):
+                  sm: jnp.ndarray, stance_pd: float = 0.0,
+                  swing_pd: float = 1.0):
     """Convert2Torque: map the first-knot GRF plan to direct joint torques.
 
     The capability the reference declares but never implements
@@ -332,7 +379,10 @@ def grf_to_torque(cfg: EnvConfig, gc: jnp.ndarray, f_world: jnp.ndarray,
     J = jax.vmap(jax.jacfwd(lambda qq, i: kin.leg_fk(qq, i)), in_axes=(0, 0))(
         q, jnp.asarray(mdl.IS_RIGHT))                        # (4,3,3)
     tau = -jnp.einsum("lij,li->lj", J, f_body) * sm[:, None]  # (4,3)
-    pd_scale = jnp.repeat(1.0 - (1.0 - stance_pd) * sm, 3)    # (12,)
+    # swing_pd > 1 stiffens swing tracking (the policy's kp=40 is too soft
+    # to realize swing-leg retraction; the motor-envelope clamp still
+    # applies, so this stays within the same actuator limits)
+    pd_scale = jnp.repeat(swing_pd - (swing_pd - stance_pd) * sm, 3)  # (12,)
     return tau.reshape(12), pd_scale
 
 

@@ -52,8 +52,25 @@ def swing_up_height(cfg: EnvConfig, command: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ratio > 0.1, cfg.up_height, ratio * cfg.up_height)
 
 
-def toe_targets(cfg: EnvConfig, command: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """(4,3) toe positions in the hip frames at absolute gait time t."""
+def toe_targets(cfg: EnvConfig, command: jnp.ndarray, t: jnp.ndarray,
+                touchdown_match: bool = False) -> jnp.ndarray:
+    """(4,3) toe positions in the hip frames at absolute gait time t.
+
+    touchdown_match=False is the reference's generator exactly
+    (gait_generator_manual, Environment.hpp:1756-1890): cubic-Bezier stance
+    sweep with ease-in/out and a swing arc whose relative velocity is zero
+    at touchdown. That profile makes every touchdown skid at ~body speed
+    (the foot lands moving with the body, and the eased stance start delays
+    the backward sweep) — the learned policy compensates by deviating from
+    the reference, but a model-based controller tracking it is
+    friction-limited near 2 m/s.
+
+    touchdown_match=True is the MPC-grade profile: a *linear* stance sweep
+    (constant backward rate = ground-speed-matched when paced at the body
+    velocity) and a late-swing retraction that brings the foot's relative
+    velocity to the stance rate at touchdown (classic swing-leg retraction).
+    Only the MPC runtime uses it; the env's imitation reference is untouched.
+    """
     gait_step = command[0] * cfg.lam * cfg.period
     if cfg.wildcat:
         gait_step = -gait_step
@@ -74,10 +91,21 @@ def toe_targets(cfg: EnvConfig, command: jnp.ndarray, t: jnp.ndarray) -> jnp.nda
     r_st = phase / cfg.lam
     r_sw = (phase - cfg.lam) / (1.0 - cfg.lam)
     # stance: fwd -> back; swing: back -> fwd with gaussian apex in z
-    b_st = _bezier_blend(r_st)[:, None]
+    if touchdown_match:
+        b_st = jnp.clip(r_st, 0.0, 1.0)[:, None]       # linear, constant rate
+    else:
+        b_st = _bezier_blend(r_st)[:, None]
     toe_st = p_fwd + b_st * (p_back - p_fwd)
     b_sw = _bezier_blend(r_sw)[:, None]
     toe_sw_xy = p_back[:, :2] + b_sw * (p_fwd[:, :2] - p_back[:, :2])
+    if touchdown_match:
+        # late-swing retraction: parabolic offset over the last 20% of swing
+        # whose d/dphase at touchdown equals the stance sweep's phase rate
+        # -(p_fwd - p_back)*(1-lam)/lam, so the foot arrives already moving
+        # with the ground (position shift at touchdown: half that * 0.2)
+        u = jnp.clip((r_sw - 0.8) / 0.2, 0.0, 1.0)[:, None]
+        rate = (p_fwd[:, :2] - p_back[:, :2]) * (1.0 - cfg.lam) / cfg.lam
+        toe_sw_xy = toe_sw_xy - 0.5 * 0.2 * rate * u ** 2
     toe_sw_z = p_back[:, 2] + _gauss(r_sw, 1.0, up)
     toe_sw = jnp.concatenate([toe_sw_xy, toe_sw_z[:, None]], axis=-1)
     return jnp.where(in_stance[:, None], toe_st, toe_sw)
@@ -92,13 +120,15 @@ def hip_y_offsets(cfg: EnvConfig) -> jnp.ndarray:
 
 
 def gait_reference(cfg: EnvConfig, command: jnp.ndarray, t: jnp.ndarray,
-                   xy_shift: jnp.ndarray | None = None) -> GaitRef:
+                   xy_shift: jnp.ndarray | None = None,
+                   touchdown_match: bool = False) -> GaitRef:
     """Joint + end-effector reference at absolute time t for filtered command.
 
     xy_shift: optional (2,) horizontal offset applied to every toe target —
     the Raibert foothold correction used by the MPC runtime (the learned
-    policy's imitation reference never shifts)."""
-    toe = toe_targets(cfg, command, t)
+    policy's imitation reference never shifts). touchdown_match: the
+    MPC-grade profile (see toe_targets)."""
+    toe = toe_targets(cfg, command, t, touchdown_match)
     if xy_shift is not None:
         toe = toe.at[:, 0].add(xy_shift[0]).at[:, 1].add(xy_shift[1])
     ik_in = toe.at[:, 1].add(hip_y_offsets(cfg))
