@@ -48,9 +48,10 @@ def make_distributed_update(env_cfg: EnvConfig, ppo_cfg: ppo.PPOConfig,
         lambda k: ppo.init_train_state(env_cfg, ppo_cfg, k), jax.random.PRNGKey(0))
     sh = _train_state_shardings(mesh, ts0)
     repl = pmesh.replicated(mesh)
-    metric_sh = {k: repl for k in
-                 ("loss", "pg_loss", "vf_loss", "entropy", "approxkl", "clipfrac",
-                  "explained_variance", "ep_rew_mean", "reward_per_step")}
+    # every metric is a replicated scalar; derive the keys from the update's
+    # own output structure so new metrics never desync this spec
+    _, metrics0 = jax.eval_shape(update, ts0)
+    metric_sh = jax.tree.map(lambda _: repl, metrics0)
     return jax.jit(update, in_shardings=(sh,), out_shardings=(sh, metric_sh))
 
 

@@ -1,9 +1,12 @@
 import numpy as np
 import pytest
+import pytest
 
 from high_speed_quadrupedal_locomotion_by_irrl_tpu import config as cfg_mod
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import gamepad as gp
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import native
+
+pytestmark = pytest.mark.slow  # heavy-compile suite (see pyproject addopts)
 
 
 def test_scripted_pad_schedule():

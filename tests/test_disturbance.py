@@ -2,9 +2,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import pytest
 
 from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
+
+pytestmark = pytest.mark.slow  # heavy-compile suite (see pyproject addopts)
 
 
 def _fast(cfg):

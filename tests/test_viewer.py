@@ -6,11 +6,14 @@ import re
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from high_speed_quadrupedal_locomotion_by_irrl_tpu import config as cfg_mod
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import eval as ev
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import viewer
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+
+pytestmark = pytest.mark.slow  # heavy-compile suite (see pyproject addopts)
 
 
 def test_viewer_html_selfcontained(tmp_path):
