@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Mapping
 
 import yaml
@@ -209,11 +210,18 @@ def from_yaml(path_or_str: str) -> EnvConfig:
     spring keys) are ignored — they configure host-side concerns handled
     elsewhere in this framework.
     """
+    looks_like_path = ("\n" not in path_or_str and ":" not in path_or_str)
+    if looks_like_path and not os.path.exists(path_or_str):
+        # never silently fall back to defaults for a mistyped path (a round-2
+        # training run burned 4 hours on EnvConfig() defaults this way)
+        raise FileNotFoundError(f"config YAML not found: {path_or_str!r}")
     try:
         with open(path_or_str) as f:
             doc = yaml.safe_load(f)
     except (OSError, ValueError):
         doc = yaml.safe_load(path_or_str)
+    if isinstance(doc, str):
+        raise ValueError(f"not a YAML mapping: {path_or_str[:80]!r}")
     if "environment" in doc:
         doc = doc["environment"]
     kw = {}
