@@ -54,22 +54,32 @@ def _bench_srb(batch: int, horizon: int, repeats: int = 10):
     return batch / dt, float(jnp.mean(cost))
 
 
-def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2):
+def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
+                lanes: bool = True):
     from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import trot
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
 
     cfg = config.test_default().replace(obs_noise=0.0)
-    mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=n_iter, model_substeps=2)
+    mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=n_iter, model_substeps=2,
+                             linearize_chunk=(10 if lanes and horizon % 10 == 0
+                                              else 1))
     params = mdl.nominal_params(cfg)
-    pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), params)
     cmds = jnp.stack([jnp.array([1.0 + 3.0 * (i % 5) / 4.0, 0.0, 0.0])
                       for i in range(batch)])
     probs = jax.vmap(lambda c: trot.make_problem(
         cfg, trot.standing_x0(cfg)[:19], jnp.zeros(18), c, jnp.asarray(0.0),
         mpc_cfg.horizon))(cmds)
-    solve = jax.jit(lambda pr: trot.batched_solve(cfg, mpc_cfg, pb, pr).cost)
-    _log(f"bench: compiling whole-body iLQR (batch={batch})...")
+    if lanes:
+        # lanes-batched solver: physics lane width = batch x FD tangents
+        solve = jax.jit(lambda pr: trot.solve_batch_lanes(
+            cfg, mpc_cfg, params, pr).cost)
+    else:
+        pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
+                          params)
+        solve = jax.jit(lambda pr: trot.batched_solve(cfg, mpc_cfg, pb, pr).cost)
+    _log(f"bench: compiling whole-body iLQR ({'lanes' if lanes else 'vmap'}, "
+         f"batch={batch})...")
     dt, compile_s, _ = _timeit(solve, probs, repeats)
     _log(f"bench: iLQR compile {compile_s:.0f}s, run {dt*1e3:.0f} ms")
     return batch / dt
@@ -173,8 +183,13 @@ def main():
     try:
         ilqr_per_s = _bench_ilqr(ilqr_batch, horizon, n_iter=2 if small else 8)
     except Exception as e:  # keep the headline even if the heavy extra fails
-        _log(f"bench: iLQR extra failed: {e}")
-        ilqr_per_s = None
+        _log(f"bench: lanes iLQR extra failed ({e}); trying vmap path")
+        try:
+            ilqr_per_s = _bench_ilqr(ilqr_batch, horizon,
+                                     n_iter=2 if small else 8, lanes=False)
+        except Exception as e2:
+            _log(f"bench: iLQR extra failed: {e2}")
+            ilqr_per_s = None
 
     print(json.dumps({
         "metric": "trot_mpc_solves_per_s_per_chip",
