@@ -67,7 +67,8 @@ def _landscape_batch(cfg: EnvConfig, stacked_params, command, key,
     state = state._replace(command=jnp.tile(command, (B, 1)),
                            command_filtered=jnp.tile(command, (B, 1)))
     obs = jax.vmap(lambda s: bp.observe(cfg, s))(state)
-    s_size = lstm.state_size([w.wh.shape[0] for w in stacked_params.pi_lstm])
+    # wh leaves carry the blend axis in front: (B, h, 4h) -> hidden = shape[-2]
+    s_size = lstm.state_size([w.wh.shape[-2] for w in stacked_params.pi_lstm])
     cmd_n = (command - bp.obs_mean(cfg)[:3]) / bp.obs_std(cfg)[:3]
 
     fwd = jax.vmap(lstm.deterministic_action)
