@@ -261,9 +261,12 @@ def make_update_fn(env_cfg: EnvConfig, ppo_cfg: PPOConfig) -> Callable:
 
 def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
           key: jax.Array, params: Optional[lstm.PolicyParams] = None,
-          eval_every_n: int = 100, callback=None, verbose: bool = True):
+          eval_every_n: int = 100, callback=None, verbose: bool = True,
+          metrics_hook=None):
     """Training loop (PPO2.learn parity: periodic eval hook + checkpointing
-    are the caller's callback, mirroring ppo2.py:331-341)."""
+    are the caller's callback, mirroring ppo2.py:331-341; `metrics_hook`
+    fires every update — the CLI uses it to persist metrics.jsonl, this
+    framework's TensorBoard-writer stand-in)."""
     ts = init_train_state(env_cfg, ppo_cfg, key, params)
     update_fn = jax.jit(make_update_fn(env_cfg, ppo_cfg))
     batch_size = env_cfg.num_envs * ppo_cfg.n_steps
@@ -271,7 +274,7 @@ def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
     for i in range(n_updates):
         t0 = time.time()
         ts, metrics = update_fn(ts)
-        if verbose or callback:
+        if verbose or callback or metrics_hook:
             metrics = {k: float(v) for k, v in
                        jax.tree.map(lambda x: jax.device_get(x), metrics).items()}
             metrics["fps"] = batch_size / max(time.time() - t0, 1e-9)
@@ -279,6 +282,8 @@ def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
         if verbose:
             print(f"update {i + 1}/{n_updates}: " +
                   " ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
+        if metrics_hook is not None:
+            metrics_hook(metrics)
         if callback is not None and (i % eval_every_n == 0 or i == n_updates - 1):
             callback(ts, metrics)
     return ts

@@ -24,6 +24,7 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo import ppo
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import io as mio
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.parallel import mesh as pmesh
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.parallel import train as ptrain
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils.metrics import JsonlLogger
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils.run_dir import make_run_dir
 
 
@@ -42,6 +43,11 @@ def parse_args(argv):
     p.add_argument("--eval-every", type=int, default=100)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--num-envs", type=int, default=None)
+    p.add_argument("--n-steps", type=int, default=None,
+                   help="rollout/BPTT length override (default: episode_len)")
+    p.add_argument("--max-updates", type=int, default=None,
+                   help="cap PPO updates directly (overrides --max-iter; "
+                        "small smoke runs)")
     p.add_argument("--distributed", action="store_true",
                    help="shard the env batch over all local devices")
     p.add_argument("--lanes", action="store_true",
@@ -61,7 +67,10 @@ def main(argv=None):
         from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import profiling
         profiling.enable_compile_cache()
         env_cfg = env_cfg.replace(use_lanes_physics=True)
-    ppo_cfg = ppo.PPOConfig(learning_rate=args.lr, n_steps=env_cfg.episode_len)
+    ppo_cfg = ppo.PPOConfig(learning_rate=args.lr,
+                            n_steps=args.n_steps or env_cfg.episode_len)
+    if args.max_updates is not None:
+        args.max_iter = args.max_updates * env_cfg.num_envs * ppo_cfg.n_steps
 
     params = None
     if args.load:
@@ -77,6 +86,7 @@ def main(argv=None):
 
     run_dir = make_run_dir(args.log_dir, env_cfg, [args.cfg] if args.cfg else [])
     print(f"run dir: {run_dir}")
+    mlog = JsonlLogger(os.path.join(run_dir, "metrics.jsonl"))
 
     def callback(ts: ppo.TrainState, metrics):
         step = int(ts.update_idx)
@@ -95,14 +105,26 @@ def main(argv=None):
             ts, metrics = update(ts)
             print(f"update {i}: loss={float(metrics['loss']):.4g} "
                   f"rew/step={float(metrics['reward_per_step']):.4g}")
+            mlog.write({**{k: float(v) for k, v in metrics.items()},
+                        "timesteps": (i + 1) * batch})
             if i % args.eval_every == 0:
                 callback(ts, metrics)
     else:
         ts = ppo.learn(env_cfg, ppo_cfg, args.max_iter, key, params,
-                       eval_every_n=args.eval_every, callback=callback)
+                       eval_every_n=args.eval_every, callback=callback,
+                       metrics_hook=mlog.write)
     mio.save_checkpoint(os.path.join(run_dir, "ckpt_final.pkl"),
                         (ts.params, ts.opt_state), int(ts.update_idx))
     mio.save_bp5_csv(ts.params, os.path.join(run_dir, "csv_final"))
+    mlog.close()
+    try:  # render the curve board alongside the raw jsonl (best-effort)
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import dashboard
+        dashboard.training_dashboard(
+            dashboard.load_metrics(run_dir),
+            os.path.join(run_dir, "dashboard.png"),
+            title=os.path.basename(run_dir))
+    except Exception as e:
+        print(f"dashboard render skipped: {e}")
     return run_dir
 
 
