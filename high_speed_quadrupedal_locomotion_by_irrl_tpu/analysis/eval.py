@@ -186,3 +186,46 @@ def lstm_state_correlation(cfg: EnvConfig, params, vx, key, n_steps=750, skip=10
     h = h - h.mean(0)
     std = h.std(0) + 1e-8
     return (h / std).T @ (h / std) / h.shape[0]
+
+
+def value_pca(params, log: RolloutLog, tower: str = "v"):
+    """PCA map of LSTM hidden states colored by the value estimate
+    (run_bp_v5.py:820-844, the PCA value-function visualization).
+
+    Projects the chosen tower's concatenated hidden states onto their two
+    principal components; the color channel is the value head applied to the
+    logged value-tower latent (no re-rollout needed)."""
+    chs = lstm._split_state(params, log.lstm_state)   # [(c, h)] pi then v
+    n_pi = len(params.pi_lstm)
+    sel = chs[:n_pi] if tower == "pi" else chs[n_pi:]
+    h = np.concatenate([np.asarray(h_) for (_, h_) in sel], axis=-1)  # (T, H)
+    v_last = np.asarray(chs[-1][1])
+    value = v_last @ np.asarray(params.vf_w)[:, 0] + float(params.vf_b[0])
+    hc = h - h.mean(0)
+    _, s, vt = np.linalg.svd(hc, full_matrices=False)
+    return {"coords": hc @ vt[:2].T, "value": value,
+            "explained": (s[:2] ** 2 / max((s ** 2).sum(), 1e-12))}
+
+
+def spectrogram(signal, dt: float, window: int = 256, hop: int = 32):
+    """STFT magnitude of a scalar trace (run_bp_v5.py:1090-1117).
+
+    Hann-windowed, one-sided; returns freqs [Hz], times [s], |S| in dB."""
+    x = np.asarray(signal, float)
+    if len(x) < window:
+        window = max(8, 1 << int(np.log2(max(len(x), 8))))
+        hop = max(1, window // 8)
+    win = np.hanning(window)
+    starts = np.arange(0, len(x) - window + 1, hop)
+    frames = np.stack([x[s:s + window] * win for s in starts])
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    return {"freqs": np.fft.rfftfreq(window, dt),
+            "times": (starts + window / 2) * dt,
+            "db": 20 * np.log10(mag.T + 1e-12)}
+
+
+def toe_trajectories(log: RolloutLog) -> np.ndarray:
+    """(T, 4, 3) hip-frame toe positions via FK over the logged joints
+    (the end-effector-trajectory mode, run_bp_v5.py:692-736)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import kinematics
+    return np.asarray(jax.vmap(kinematics.legs_fk)(log.gc[:, 7:19]))

@@ -227,3 +227,60 @@ def rollout_animation(log, path: str, stride: int = 10):
     anim = animation.FuncAnimation(fig, draw, frames=len(gcs), blit=True)
     anim.save(path, fps=20, writer="pillow" if path.endswith(".gif") else None)
     plt.close(fig)
+
+
+def pca_value_figure(res, path: str):
+    """Hidden-state PCA scatter colored by value (run_bp_v5.py:820-844)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(5, 4))
+    sc = ax.scatter(res["coords"][:, 0], res["coords"][:, 1], c=res["value"],
+                    s=4, cmap="viridis")
+    fig.colorbar(sc, ax=ax, label="V(s)")
+    e = res["explained"]
+    ax.set_xlabel(f"PC1 ({e[0]:.0%})"); ax.set_ylabel(f"PC2 ({e[1]:.0%})")
+    fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def spectrogram_figure(spec, path: str, fmax: float = 50.0):
+    """STFT magnitude heatmap (run_bp_v5.py:1090-1117)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    keep = spec["freqs"] <= fmax
+    pc = ax.pcolormesh(spec["times"], spec["freqs"][keep], spec["db"][keep],
+                       shading="auto", cmap="magma")
+    fig.colorbar(pc, ax=ax, label="|S| [dB]")
+    ax.set_xlabel("time [s]"); ax.set_ylabel("freq [Hz]")
+    fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+_JOINT_NAMES = [f"{leg}_{j}" for leg in ("FR", "FL", "HR", "HL")
+                for j in ("abad", "hip", "knee")]
+
+
+def joint_traces_figure(log, dt: float, path: str):
+    """12-panel joint angle vs reference traces (run_bp_v5.py:664-690)."""
+    plt = _mpl()
+    q = np.asarray(log.gc[:, 7:19]); qr = np.asarray(log.joint_ref)
+    t = np.arange(len(q)) * dt
+    fig, axes = plt.subplots(4, 3, figsize=(10, 9), sharex=True)
+    for i, ax in enumerate(axes.ravel()):
+        ax.plot(t, q[:, i], lw=0.8, label="q")
+        ax.plot(t, qr[:, i], lw=0.8, ls="--", label="ref")
+        ax.set_title(_JOINT_NAMES[i], fontsize=9)
+        ax.tick_params(labelsize=7)
+    axes[0, 0].legend(fontsize=7)
+    for ax in axes[-1]:
+        ax.set_xlabel("t [s]", fontsize=8)
+    fig.tight_layout(); fig.savefig(path, dpi=130); plt.close(fig)
+
+
+def ee_traj_figure(toe_xyz, path: str, skip: int = 100):
+    """Side-view (x-z) hip-frame toe loops per leg (run_bp_v5.py:692-736)."""
+    plt = _mpl()
+    fig, axes = plt.subplots(1, 4, figsize=(12, 3), sharey=True)
+    for i, (ax, name) in enumerate(zip(axes, ("FR", "FL", "HR", "HL"))):
+        ax.plot(toe_xyz[skip:, i, 0], toe_xyz[skip:, i, 2], lw=0.5)
+        ax.set_title(name, fontsize=9); ax.set_xlabel("x [m]")
+        ax.set_aspect("equal")
+    axes[0].set_ylabel("z [m]")
+    fig.tight_layout(); fig.savefig(path, dpi=140); plt.close(fig)

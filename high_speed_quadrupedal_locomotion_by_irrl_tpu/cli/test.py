@@ -39,6 +39,16 @@ def parse_args(argv):
     p.add_argument("--torque", action="store_true", help="torque/power + TCoT")
     p.add_argument("--ss", action="store_true", help="state-space portraits")
     p.add_argument("--corr", action="store_true", help="LSTM state correlation")
+    p.add_argument("--pca", type=str, default=None, metavar="OUT.png",
+                   help="hidden-state PCA map colored by value "
+                        "(run_bp_v5.py:820-844)")
+    p.add_argument("--spectro", type=str, default=None, metavar="OUT.png",
+                   help="knee joint-velocity spectrogram "
+                        "(run_bp_v5.py:1090-1117)")
+    p.add_argument("--traces", type=str, default=None, metavar="PREFIX",
+                   help="joint-trace + end-effector-trajectory figures "
+                        "(PREFIX_joints.png / PREFIX_ee.png, "
+                        "run_bp_v5.py:664-736)")
     p.add_argument("--delay", type=str, default=None,
                    help="comma-separated latency sweep in control steps")
     p.add_argument("--save-data", type=str, default=None, help="npy dump dir")
@@ -179,6 +189,34 @@ def main(argv=None):
         corr = ev.lstm_state_correlation(cfg, params, args.vx, key, args.steps)
         results["lstm_corr_mean_abs"] = float(np.abs(corr).mean())
         print(f"LSTM state |corr| mean: {results['lstm_corr_mean_abs']:.3f}")
+    if args.pca or args.spectro or args.traces:
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import figures
+        import jax.numpy as jnp
+
+        log = ev.policy_rollout(
+            cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                        stochastic_dynamics=False),
+            params, jnp.array([args.vx, 0.0, 0.0]), key, args.steps)
+        if args.pca:
+            res = ev.value_pca(params, log)
+            figures.pca_value_figure(res, args.pca)
+            results["pca"] = {"explained": [float(e) for e in res["explained"]]}
+            print(f"value-PCA map -> {args.pca} "
+                  f"(PC1+PC2 explain {res['explained'].sum():.0%})")
+        if args.spectro:
+            qd_knee = np.asarray(log.gv)[:, 6 + 2]  # FR knee velocity
+            spec = ev.spectrogram(qd_knee, cfg.control_dt)
+            figures.spectrogram_figure(spec, args.spectro)
+            results["spectro"] = args.spectro
+            print(f"spectrogram -> {args.spectro}")
+        if args.traces:
+            figures.joint_traces_figure(log, cfg.control_dt,
+                                        args.traces + "_joints.png")
+            figures.ee_traj_figure(ev.toe_trajectories(log),
+                                   args.traces + "_ee.png")
+            results["traces"] = args.traces
+            print(f"joint/EE traces -> {args.traces}_joints.png, "
+                  f"{args.traces}_ee.png")
     if args.kappa:
         from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
             robustness as rb,

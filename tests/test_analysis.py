@@ -90,3 +90,61 @@ def test_figures_render(tmp_path):
     figures.tcot_grouped_figure(res2, str(tmp_path / "c.png"))
     for f in ("t.png", "r.png", "c.png"):
         assert (tmp_path / f).stat().st_size > 1000
+
+
+def _fake_log(T=300, params=None):
+    """Synthesize a RolloutLog-shaped namedtuple (no env compile)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis.eval import RolloutLog
+    rng = np.random.default_rng(1)
+    S = lstm.state_size([8, 8]) * 2 if params is None else (
+        sum(2 * w.wh.shape[0] for w in params.pi_lstm) +
+        sum(2 * w.wh.shape[0] for w in params.v_lstm))
+    gc = np.zeros((T, 19), np.float32)
+    gc[:, 2] = 0.3
+    gc[:, 3] = 1.0
+    gc[:, 7:19] = np.tile([0.0, 0.8, -1.6] * 4, (T, 1)) + \
+        0.1 * np.sin(np.arange(T) * 0.2)[:, None]
+    return RolloutLog(
+        gc=jnp.asarray(gc), gv=jnp.asarray(rng.normal(size=(T, 18)).astype(np.float32)),
+        torque=jnp.zeros((T, 12)), action=jnp.zeros((T, 12)),
+        obs=jnp.zeros((T, 35)), reward=jnp.zeros(T), done=jnp.zeros(T),
+        contact=jnp.zeros((T, 4)), command=jnp.zeros((T, 3)),
+        lstm_state=jnp.asarray(rng.normal(size=(T, S)).astype(np.float32)),
+        joint_ref=jnp.asarray(gc[:, 7:19] + 0.05))
+
+
+def test_value_pca_shapes_and_explained(tmp_path):
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import eval as ev
+    params = lstm.init(jax.random.PRNGKey(0), 35, 12, (8, 8))
+    log = _fake_log(params=params)
+    res = ev.value_pca(params, log)
+    assert res["coords"].shape == (300, 2)
+    assert res["value"].shape == (300,)
+    assert 0 < res["explained"].sum() <= 1.0 + 1e-6
+    figures.pca_value_figure(res, str(tmp_path / "pca.png"))
+    assert os.path.getsize(tmp_path / "pca.png") > 5000
+
+
+def test_spectrogram_finds_tone(tmp_path):
+    """A pure 12.5 Hz tone must peak at 12.5 Hz in every STFT column."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import eval as ev
+    dt = 0.002
+    t = np.arange(2000) * dt
+    spec = ev.spectrogram(np.sin(2 * np.pi * 12.5 * t), dt)
+    peak = spec["freqs"][np.argmax(spec["db"], axis=0)]
+    np.testing.assert_allclose(peak, 12.5, atol=2.0)
+    figures.spectrogram_figure(spec, str(tmp_path / "s.png"))
+    assert os.path.getsize(tmp_path / "s.png") > 5000
+
+
+def test_trace_figures_render(tmp_path):
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import eval as ev
+    log = _fake_log()
+    figures.joint_traces_figure(log, 0.002, str(tmp_path / "j.png"))
+    toes = ev.toe_trajectories(log)
+    assert toes.shape == (300, 4, 3)
+    # stand pose puts toes below the hips
+    assert (toes[:, :, 2] < 0).all()
+    figures.ee_traj_figure(toes, str(tmp_path / "ee.png"), skip=10)
+    assert os.path.getsize(tmp_path / "j.png") > 10000
+    assert os.path.getsize(tmp_path / "ee.png") > 5000
