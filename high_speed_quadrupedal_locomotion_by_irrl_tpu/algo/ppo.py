@@ -271,19 +271,27 @@ def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
     update_fn = jax.jit(make_update_fn(env_cfg, ppo_cfg))
     batch_size = env_cfg.num_envs * ppo_cfg.n_steps
     n_updates = max(1, total_timesteps // batch_size)
-    for i in range(n_updates):
-        t0 = time.time()
-        ts, metrics = update_fn(ts)
-        if verbose or callback or metrics_hook:
-            metrics = {k: float(v) for k, v in
-                       jax.tree.map(lambda x: jax.device_get(x), metrics).items()}
-            metrics["fps"] = batch_size / max(time.time() - t0, 1e-9)
-            metrics["timesteps"] = (i + 1) * batch_size
-        if verbose:
-            print(f"update {i + 1}/{n_updates}: " +
-                  " ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
-        if metrics_hook is not None:
-            metrics_hook(metrics)
-        if callback is not None and (i % eval_every_n == 0 or i == n_updates - 1):
-            callback(ts, metrics)
+    try:
+        for i in range(n_updates):
+            t0 = time.time()
+            ts, metrics = update_fn(ts)
+            if verbose or callback or metrics_hook:
+                metrics = {k: float(v) for k, v in
+                           jax.tree.map(lambda x: jax.device_get(x), metrics).items()}
+                metrics["fps"] = batch_size / max(time.time() - t0, 1e-9)
+                metrics["timesteps"] = (i + 1) * batch_size
+            if verbose:
+                print(f"update {i + 1}/{n_updates}: " +
+                      " ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
+            if metrics_hook is not None:
+                metrics_hook(metrics)
+            if callback is not None and (i % eval_every_n == 0
+                                         or i == n_updates - 1):
+                callback(ts, metrics)
+    except KeyboardInterrupt:
+        # PPO2 parity (ppo2.py:443-448): a Ctrl-C returns the live train
+        # state so the caller's final save still runs — a long run is
+        # never lost to an interrupt.
+        print(f"learn: interrupted at update {int(ts.update_idx)} — "
+              "returning current state for the final save")
     return ts

@@ -229,3 +229,21 @@ def toe_trajectories(log: RolloutLog) -> np.ndarray:
     (the end-effector-trajectory mode, run_bp_v5.py:692-736)."""
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import kinematics
     return np.asarray(jax.vmap(kinematics.legs_fk)(log.gc[:, 7:19]))
+
+
+def energy_data(cfg: EnvConfig, params, vx, key, n_steps=750):
+    """Per-step energy/dynamics dump (run_bp_v5.py:446-511 --save_energy_data):
+    trajectory + applied torques + M^-1 + nonlinearities + mechanical power,
+    the arrays the reference exports for Data_Visualization_Code/."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import dynamics
+    log = policy_rollout(_fixed_command_cfg(cfg), params,
+                         jnp.array([vx, 0.0, 0.0]), key, n_steps)
+    p = mdl.nominal_params(cfg)
+    minv = jax.jit(jax.vmap(lambda gc: dynamics.inverse_mass_matrix(p, gc)))(log.gc)
+    nonlin = jax.jit(jax.vmap(lambda gc, gv: dynamics.nonlinearities(p, gc, gv)))(
+        log.gc, log.gv)
+    tau = np.asarray(log.torque)
+    qd = np.asarray(log.gv[:, 6:])
+    return {"gc": np.asarray(log.gc), "gv": np.asarray(log.gv), "torque": tau,
+            "contact": np.asarray(log.contact), "inverse_mass": np.asarray(minv),
+            "nonlinear": np.asarray(nonlin), "power": tau * qd}

@@ -52,6 +52,9 @@ def parse_args(argv):
     p.add_argument("--delay", type=str, default=None,
                    help="comma-separated latency sweep in control steps")
     p.add_argument("--save-data", type=str, default=None, help="npy dump dir")
+    p.add_argument("--save-energy-data", type=str, default=None, metavar="DIR",
+                   help="per-step energy/dynamics npy dump incl. M^-1 and "
+                        "nonlinearities (run_bp_v5.py:446-511)")
     p.add_argument("--kappa", action="store_true",
                    help="disturbance-recovery rate fits (Figure4 robustness)")
     p.add_argument("--kick", type=float, default=1.0,
@@ -277,6 +280,13 @@ def main(argv=None):
                                     np.asarray(log.contact))
             results["dump_info"] = args.dump_info
             print(f"info CSV written to {args.dump_info}")
+    if args.save_energy_data:
+        ed = ev.energy_data(cfg, params, args.vx, key, args.steps)
+        os.makedirs(args.save_energy_data, exist_ok=True)
+        for name, arr in ed.items():
+            np.save(os.path.join(args.save_energy_data, f"{name}.npy"), arr)
+        results["energy_data"] = sorted(ed)
+        print(f"energy dump ({', '.join(sorted(ed))}) -> {args.save_energy_data}")
     if args.save_data:
         os.makedirs(args.save_data, exist_ok=True)
         with open(os.path.join(args.save_data, "results.json"), "w") as f:

@@ -95,6 +95,23 @@ def main(argv=None):
         mio.save_bp5_csv(ts.params, os.path.join(run_dir, f"csv_{step}"))
 
     key = jax.random.PRNGKey(env_cfg.seed)
+    ts = _train(args, env_cfg, ppo_cfg, key, params, run_dir, callback, mlog)
+    mio.save_checkpoint(os.path.join(run_dir, "ckpt_final.pkl"),
+                        (ts.params, ts.opt_state), int(ts.update_idx))
+    mio.save_bp5_csv(ts.params, os.path.join(run_dir, "csv_final"))
+    mlog.close()
+    try:  # render the curve board alongside the raw jsonl (best-effort)
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import dashboard
+        dashboard.training_dashboard(
+            dashboard.load_metrics(run_dir),
+            os.path.join(run_dir, "dashboard.png"),
+            title=os.path.basename(run_dir))
+    except Exception as e:
+        print(f"dashboard render skipped: {e}")
+    return run_dir
+
+
+def _train(args, env_cfg, ppo_cfg, key, params, run_dir, callback, mlog):
     if args.distributed:
         mesh = pmesh.make_mesh()
         ts = ppo.init_train_state(env_cfg, ppo_cfg, key, params)
@@ -113,19 +130,7 @@ def main(argv=None):
         ts = ppo.learn(env_cfg, ppo_cfg, args.max_iter, key, params,
                        eval_every_n=args.eval_every, callback=callback,
                        metrics_hook=mlog.write)
-    mio.save_checkpoint(os.path.join(run_dir, "ckpt_final.pkl"),
-                        (ts.params, ts.opt_state), int(ts.update_idx))
-    mio.save_bp5_csv(ts.params, os.path.join(run_dir, "csv_final"))
-    mlog.close()
-    try:  # render the curve board alongside the raw jsonl (best-effort)
-        from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import dashboard
-        dashboard.training_dashboard(
-            dashboard.load_metrics(run_dir),
-            os.path.join(run_dir, "dashboard.png"),
-            title=os.path.basename(run_dir))
-    except Exception as e:
-        print(f"dashboard render skipped: {e}")
-    return run_dir
+    return ts
 
 
 if __name__ == "__main__":
