@@ -37,3 +37,49 @@ def test_interactive_teleop_smoke():
     res = cli_test.interactive(cfg, params, n_steps=4, serve_port=0)
     assert res["steps"] == 4
     assert len(res["v_mean"]) == 3
+
+
+def test_cli_analysis_modes_and_energy_dump(tmp_path):
+    """--pca/--spectro/--traces/--save-energy-data end-to-end on a tiny
+    rollout (run_bp_v5.py:446-511,664-736,820-844,1090-1117 parity)."""
+    import jax
+
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.cli import test as cli_test
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import io as mio
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+
+    model_dir = str(tmp_path / "model")
+    mio.save_bp5_csv(lstm.init(jax.random.PRNGKey(0)), model_dir)
+    res = cli_test.main([
+        "--model", model_dir, "--steps", "60",
+        "--pca", str(tmp_path / "pca.png"),
+        "--spectro", str(tmp_path / "spec.png"),
+        "--traces", str(tmp_path / "tr"),
+        "--save-energy-data", str(tmp_path / "edump"),
+    ])
+    import os
+    for f in ("pca.png", "spec.png", "tr_joints.png", "tr_ee.png"):
+        assert os.path.getsize(tmp_path / f) > 3000, f
+    assert sorted(res["energy_data"]) == [
+        "contact", "gc", "gv", "inverse_mass", "nonlinear", "power", "torque"]
+    minv = np.load(tmp_path / "edump" / "inverse_mass.npy")
+    assert minv.shape == (60, 18, 18)
+    # M^-1 is SPD-symmetric
+    np.testing.assert_allclose(minv, np.swapaxes(minv, 1, 2), atol=1e-3)
+
+
+def test_cli_train_smoke_writes_metrics_and_dashboard(tmp_path):
+    """Tiny end-to-end train: metrics.jsonl rows + dashboard.png render."""
+    import os
+
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.cli import train as cli_train
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils.metrics import read_jsonl
+
+    rd = cli_train.main(["--num-envs", "4", "--n-steps", "8",
+                         "--max-updates", "2", "--log-dir", str(tmp_path),
+                         "--eval-every", "1"])
+    rows = read_jsonl(os.path.join(rd, "metrics.jsonl"))
+    assert len(rows) == 2
+    assert {"loss", "reward_per_step", "fps", "timesteps"} <= set(rows[0])
+    assert os.path.getsize(os.path.join(rd, "dashboard.png")) > 10_000
+    assert os.path.exists(os.path.join(rd, "csv_final", "pi_w.csv"))
