@@ -114,6 +114,12 @@ class EnvConfig:
     # tangential model to min(mu*fn, m_eff/dt * |vt|) — true stiction like
     # Raisim's hard solver, stable at any stiffness (phys/contact.py notes)
     contact_impulse_mass: float = 0.0
+    # hard (impulse/LCP-class) toe contact: velocity-level friction-cone
+    # complementarity solved by fixed-iteration projected Gauss-Seidel per
+    # substep (phys/hard_contact.py) — the Raisim-class solver the reference
+    # trains in. vmap path only; YAML extension key "HardContact".
+    hard_contact: bool = False
+    hard_contact_iters: int = 12
     # batch-in-lanes physics in the PPO rollout (envs.blackpanther.step_batch):
     # ~4x env throughput on TPU, but a very long first compile — enable the
     # persistent compile cache (utils.profiling.enable_compile_cache)
@@ -188,6 +194,7 @@ _YAML_KEYS: Mapping[str, str] = {
     "TimeBasedContact": "time_based_contact", "ManualTraj": "manual_traj",
     "MotorDynamics": "motor_dynamics", "ObsFilter": "obs_filter", "WILDCAT": "wildcat",
     "ForceDisturbance": "force_disturbance", "Convert2Torque": "convert2torque",
+    "HardContact": "hard_contact",  # extension key (no reference equivalent)
     "terminalRewardCoeff": "terminal_reward", "EndEffectorRewardCoeff": "ee_coeff",
     "BodyPosRewardCoeff": "body_pos_coeff", "BodyAttitudeRewardCoeff": "body_atti_coeff",
     "JointRewardCoeff": "joint_mimic_coeff", "VelRewardCoeff": "vel_keep_coeff",

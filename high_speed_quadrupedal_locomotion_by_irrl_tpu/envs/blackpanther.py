@@ -670,6 +670,14 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         gc, gv = carry
         tau = _pd_torque(cfg, ptarget, state.torque_norm_last, gc[7:], gv[6:],
                          tau_ff=tau_ff, pd_scale=pd_scale)
+        if cfg.hard_contact:
+            # impulse-level toe contact (phys/hard_contact.py): the
+            # Raisim-solver-class model the reference actually trains in
+            gc2, gv2, diag = dyn.substep_hard(
+                state.params, gc, gv, tau, base_wrench, state.terrain,
+                cfg.simulation_dt, f_ext_extra=f_ext_extra,
+                n_iter=cfg.hard_contact_iters)
+            return (gc2, gv2), (tau, diag)
         qdd, diag = dyn.forward_dynamics(state.params, gc, gv, tau, base_wrench,
                                          state.terrain, cfg.contact_slip_vel,
                                          f_ext_extra=f_ext_extra,

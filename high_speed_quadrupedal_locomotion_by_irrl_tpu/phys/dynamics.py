@@ -243,6 +243,56 @@ def forward_dynamics(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
     return qdd, diag
 
 
+@_full_precision
+def substep_hard(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
+                 tau_joint: jnp.ndarray, base_wrench: jnp.ndarray,
+                 tp: tr.TerrainParams, dt: float,
+                 f_ext_extra: jnp.ndarray | None = None,
+                 n_iter: int = 12):
+    """One physics substep with hard (impulse) toe contact.
+
+    Mirrors forward_dynamics + integrate, but toe forces are replaced by a
+    velocity-level friction-cone impulse solve (phys/hard_contact.py — the
+    Raisim-class contact the reference trains in). The base box keeps the
+    compliant model (it only matters during falls). Returns
+    (gc2, gv2, StepDiagnostics); diagnostics report the impulse-equivalent
+    normal force lam_n/dt and the post-impulse toe velocities (exactly zero
+    in stick — what a hard solver gives the contact reward)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import (
+        hard_contact as hc,
+    )
+    kin = fk(params, gc)
+    v = body_velocities(kin, gv)
+    corners = ct.box_corner_points(kin.R[0], kin.p[0])
+    corner_vel = sp.point_velocity(v[0][None, :], corners)
+    box_f, _ = ct.point_contact_force(
+        corners, corner_vel, 0.0, tp,
+        params.contact_stiffness * 0.25, params.contact_damping * 0.25,
+        params.friction, 0.1, 0.0)
+    f_ext = jnp.zeros((NUM_BODIES, 6))
+    f_ext = f_ext.at[0].add(jnp.sum(sp.force_at_point(box_f, corners), axis=0))
+    f_b, n_b = base_wrench[:3], base_wrench[3:]
+    f_ext = f_ext.at[0].add(jnp.concatenate([n_b + jnp.cross(kin.p[0], f_b), f_b]))
+    if f_ext_extra is not None:
+        f_ext = f_ext + f_ext_extra
+
+    h = bias_forces(params, kin, gv, f_ext)
+    M = mass_matrix(params, kin)
+    tau = jnp.concatenate([jnp.zeros(6), tau_joint - JOINT_DAMPING * gv[6:]])
+    gv_free = gv + dt * _linalg.solve_spd(M, tau - h)
+
+    J = hc.toe_jacobians(kin)
+    gap, basis = hc.contact_frames(tp, kin.toe_pos)
+    sol = hc.solve_impulses(M, J, gv_free, gap, basis, params.friction, dt,
+                            n_iter)
+    gc2, gv2 = integrate(gc, gv, (sol.gv_plus - gv) / dt, dt)
+    lam_norm = jnp.linalg.norm(sol.lam, axis=-1) / dt
+    diag = StepDiagnostics(toe_pos=kin.toe_pos, toe_vel=sol.toe_vel_plus,
+                           toe_force_norm=lam_norm, toe_normal_force=sol.fn,
+                           torque=tau_joint)
+    return gc2, gv2, diag
+
+
 def integrate(gc: jnp.ndarray, gv: jnp.ndarray, qdd: jnp.ndarray, dt: float):
     """Semi-implicit Euler: v += dt*a, then q += dt*v_new."""
     gv_new = gv + dt * qdd

@@ -1,0 +1,136 @@
+r"""Hard (impulse-level) toe contact — the Raisim-class alternative to the
+compliant penalty model.
+
+The reference's physics is Raisim, whose contact solver enforces velocity-
+level complementarity with an exact Coulomb cone (per-contact bisection +
+Gauss-Seidel sweeps; see the Environment.hpp banner :4 "FORCE_AND_TORQUE"
+world). The compliant model in phys/contact.py is the standard XLA-simulator
+trade and reproduces 93% of the closed-loop speed; the residual (bp5_155
+tracks 4.67 vs the 4.97 m/s recording) is structural to penalty contact.
+This module closes that class gap on the TPU's terms:
+
+after the smooth-force velocity update (gravity, PD torques, base-box
+contact — everything except toe forces), the 4 toe contacts' local impulses
+``lam`` solve the friction-cone complementarity problem
+
+    v+ = v_free + M^-1 J^T lam
+    0 <= lam_n  \perp  (v+_n - v_des) >= 0,      v_des = ERP push-out
+    ||lam_t|| <= mu * lam_n   at minimum dissipation (v+_t -> 0 in stick)
+
+by fixed-iteration projected Gauss-Seidel over the contacts: branchless,
+static shapes, unrolled 4-contact sweep inside a `lax.scan` — the XLA-native
+formulation of the active-set pivoting a CPU LCP solver would do. With only
+4 well-separated contacts PGS converges geometrically; 12 sweeps leave a
+complementarity residual far below the integration error.
+
+Everything here rides the world-origin spatial algebra of phys/dynamics:
+the toe Jacobian is *analytic* — body b's 6x18 Jacobian is the joint-axis
+matrix ``kin.S`` masked by ancestry, and a point Jacobian is its linear rows
+minus ``skew(p)`` times its angular rows. No autodiff in the hot path.
+
+Enable with ``EnvConfig.hard_contact: True`` (YAML key ``HardContact``, an
+extension key — the reference exposes no solver choice). vmap-path only;
+the batch-in-lanes fast path keeps the compliant model.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import terrain as _terrain
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys.model import (
+    ANC_MASK, SHANK_BODY_IDX, TOE_RADIUS)
+
+# Baumgarte stabilization: push-out velocity v_des = ERP * pen / dt, capped.
+ERP = 0.2
+SLOP = 1e-3          # [m] penetration allowance before push-out kicks in
+V_PUSH_MAX = 0.5     # [m/s] push-out cap (avoids explosive depenetration)
+
+
+class ContactSolution(NamedTuple):
+    gv_plus: jnp.ndarray     # (18,) post-impulse generalized velocity
+    lam: jnp.ndarray         # (4, 3) local impulses [n, t1, t2] (N s)
+    fn: jnp.ndarray          # (4,) equivalent normal force lam_n/dt [N]
+    toe_vel_plus: jnp.ndarray  # (4, 3) post-impulse world toe velocities
+
+
+def _skew(p):
+    z = jnp.zeros_like(p[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -p[..., 2], p[..., 1]], axis=-1),
+        jnp.stack([p[..., 2], z, -p[..., 0]], axis=-1),
+        jnp.stack([-p[..., 1], p[..., 0], z], axis=-1)], axis=-2)
+
+
+def toe_jacobians(kin) -> jnp.ndarray:
+    """(4, 3, 18) world-frame point Jacobians of the toe centers.
+
+    v_toe = J gv, built from the analytic body Jacobians: body b's spatial
+    velocity is ``kin.S @ (ANC_MASK[b] * gv)`` (dynamics.body_velocities),
+    and a body-fixed point at world p moves at v_O + w x p."""
+    phi = kin.S[None] * jnp.asarray(ANC_MASK)[SHANK_BODY_IDX][:, None, :]
+    w_rows, v_rows = phi[:, :3, :], phi[:, 3:, :]          # (4,3,18) each
+    return v_rows - _skew(kin.toe_pos) @ w_rows
+
+
+def contact_frames(tp, toe_pos):
+    """Per-toe gap + orthonormal contact basis (columns [n, t1, t2]).
+
+    gap < 0 marks an active contact (sphere center closer than TOE_RADIUS
+    along the surface normal — the same vertical-gap projection the
+    compliant model uses, phys/contact.py)."""
+    ground = _terrain.height(tp, toe_pos[..., 0], toe_pos[..., 1])
+    n = _terrain.normal(tp, toe_pos[..., 0], toe_pos[..., 1])   # (4,3)
+    gap = (toe_pos[..., 2] - ground) * n[..., 2] - TOE_RADIUS
+    # tangent basis: project world-x out of n; fall back to world-y near
+    # vertical-x normals (never happens on walkable slopes, but branchless)
+    ex = jnp.array([1.0, 0.0, 0.0])
+    t1 = ex - n * n[..., 0:1]
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True).clip(1e-6)
+    t2 = jnp.cross(n, t1)
+    basis = jnp.stack([n, t1, t2], axis=-1)                 # (4,3,3)
+    return gap, basis
+
+
+def solve_impulses(M: jnp.ndarray, J: jnp.ndarray, gv_free: jnp.ndarray,
+                   gap: jnp.ndarray, basis: jnp.ndarray, mu: jnp.ndarray,
+                   dt: float, n_iter: int = 12) -> ContactSolution:
+    """Projected Gauss-Seidel over the 4 toe contacts.
+
+    M (18,18), J (4,3,18) world point Jacobians, gv_free post-smooth-forces
+    velocity, gap (4,) signed distances, basis (4,3,3) [n t1 t2] columns."""
+    # local-frame Jacobians: rows express contact-point velocity in [n,t1,t2]
+    Jl = jnp.einsum("cki,ckd->cid", basis, J).reshape(12, 18)
+    W = jnp.linalg.solve(M, Jl.T)                           # M^-1 J^T (18,12)
+    G = Jl @ W                                              # (12,12) Delassus
+    v0 = Jl @ gv_free                                       # (12,)
+    active = (gap < 0.0)
+    v_des = jnp.minimum(ERP * jnp.maximum(-gap - SLOP, 0.0) / dt, V_PUSH_MAX)
+
+    # diagonal preconditioners per contact block
+    Gd = jnp.diagonal(G).reshape(4, 3)
+
+    def sweep(lam, _):
+        def one_contact(lam, i):
+            v = (v0 + G @ lam.reshape(12)).reshape(4, 3)[i]
+            ln = jnp.maximum(lam[i, 0] - (v[0] - v_des[i]) / Gd[i, 0], 0.0)
+            lt = lam[i, 1:] - v[1:] / Gd[i, 1:]
+            cap = mu * ln
+            lt_norm = jnp.linalg.norm(lt).clip(1e-12)
+            lt = lt * jnp.minimum(1.0, cap / lt_norm)
+            new_i = jnp.stack([ln, lt[0], lt[1]]) * active[i]
+            return lam.at[i].set(new_i)
+
+        for i in range(4):                                  # unrolled sweep
+            lam = one_contact(lam, i)
+        return lam, None
+
+    lam0 = jnp.zeros((4, 3))
+    lam, _ = jax.lax.scan(sweep, lam0, None, length=n_iter)
+    gv_plus = gv_free + W @ lam.reshape(12)
+    toe_vel_plus = jnp.einsum("cid,d->ci", J, gv_plus)
+    return ContactSolution(gv_plus=gv_plus, lam=lam, fn=lam[:, 0] / dt,
+                           toe_vel_plus=toe_vel_plus)
