@@ -667,17 +667,21 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
 
     # -- 8 physics substeps, PD torque recomputed from fresh state (:758-774)
     def substep(carry, _):
-        gc, gv = carry
+        if cfg.hard_contact:
+            gc, gv, lam = carry
+        else:
+            gc, gv = carry
         tau = _pd_torque(cfg, ptarget, state.torque_norm_last, gc[7:], gv[6:],
                          tau_ff=tau_ff, pd_scale=pd_scale)
         if cfg.hard_contact:
             # impulse-level toe contact (phys/hard_contact.py): the
-            # Raisim-solver-class model the reference actually trains in
-            gc2, gv2, diag = dyn.substep_hard(
+            # Raisim-solver-class model the reference actually trains in;
+            # impulses warm-start the next substep's PGS
+            gc2, gv2, diag, lam2 = dyn.substep_hard(
                 state.params, gc, gv, tau, base_wrench, state.terrain,
                 cfg.simulation_dt, f_ext_extra=f_ext_extra,
-                n_iter=cfg.hard_contact_iters)
-            return (gc2, gv2), (tau, diag)
+                n_iter=cfg.hard_contact_iters, lam0=lam)
+            return (gc2, gv2, lam2), (tau, diag)
         qdd, diag = dyn.forward_dynamics(state.params, gc, gv, tau, base_wrench,
                                          state.terrain, cfg.contact_slip_vel,
                                          f_ext_extra=f_ext_extra,
@@ -686,8 +690,11 @@ def step(cfg: EnvConfig, state: EnvState, action: jnp.ndarray,
         gc2, gv2 = dyn.integrate(gc, gv, qdd, cfg.simulation_dt)
         return (gc2, gv2), (tau, diag)
 
-    (gc, gv), (taus, diags) = jax.lax.scan(
-        substep, (pre.gc, pre.gv), None, length=cfg.substeps)
+    init = ((pre.gc, pre.gv, jnp.zeros((4, 3))) if cfg.hard_contact
+            else (pre.gc, pre.gv))
+    carry_out, (taus, diags) = jax.lax.scan(
+        substep, init, None, length=cfg.substeps)
+    gc, gv = carry_out[0], carry_out[1]
     torque_applied = taus[-1]
     last_diag = jax.tree.map(lambda x: x[-1], diags)
     return _post_substeps(cfg, state, (key, k_cmd, k_obs, k_reset), gc, gv,

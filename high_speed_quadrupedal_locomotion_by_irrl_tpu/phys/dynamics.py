@@ -248,7 +248,7 @@ def substep_hard(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
                  tau_joint: jnp.ndarray, base_wrench: jnp.ndarray,
                  tp: tr.TerrainParams, dt: float,
                  f_ext_extra: jnp.ndarray | None = None,
-                 n_iter: int = 12):
+                 n_iter: int = 12, lam0: jnp.ndarray | None = None):
     """One physics substep with hard (impulse) toe contact.
 
     Mirrors forward_dynamics + integrate, but toe forces are replaced by a
@@ -284,13 +284,13 @@ def substep_hard(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
     J = hc.toe_jacobians(kin)
     gap, basis = hc.contact_frames(tp, kin.toe_pos)
     sol = hc.solve_impulses(M, J, gv_free, gap, basis, params.friction, dt,
-                            n_iter)
+                            n_iter, lam0=lam0)
     gc2, gv2 = integrate(gc, gv, (sol.gv_plus - gv) / dt, dt)
     lam_norm = jnp.linalg.norm(sol.lam, axis=-1) / dt
     diag = StepDiagnostics(toe_pos=kin.toe_pos, toe_vel=sol.toe_vel_plus,
                            toe_force_norm=lam_norm, toe_normal_force=sol.fn,
                            torque=tau_joint)
-    return gc2, gv2, diag
+    return gc2, gv2, diag, sol.lam
 
 
 def integrate(gc: jnp.ndarray, gv: jnp.ndarray, qdd: jnp.ndarray, dt: float):

@@ -97,11 +97,15 @@ def contact_frames(tp, toe_pos):
 
 def solve_impulses(M: jnp.ndarray, J: jnp.ndarray, gv_free: jnp.ndarray,
                    gap: jnp.ndarray, basis: jnp.ndarray, mu: jnp.ndarray,
-                   dt: float, n_iter: int = 12) -> ContactSolution:
+                   dt: float, n_iter: int = 12,
+                   lam0: jnp.ndarray | None = None) -> ContactSolution:
     """Projected Gauss-Seidel over the 4 toe contacts.
 
     M (18,18), J (4,3,18) world point Jacobians, gv_free post-smooth-forces
-    velocity, gap (4,) signed distances, basis (4,3,3) [n t1 t2] columns."""
+    velocity, gap (4,) signed distances, basis (4,3,3) [n t1 t2] columns.
+    lam0: warm-start impulses (the previous substep's solution — contacts
+    persist across the 0.25 ms substeps, so this buys most of PGS's
+    convergence for free; the standard velocity-stepping trick)."""
     # local-frame Jacobians: rows express contact-point velocity in [n,t1,t2]
     Jl = jnp.einsum("cki,ckd->cid", basis, J).reshape(12, 18)
     W = jnp.linalg.solve(M, Jl.T)                           # M^-1 J^T (18,12)
@@ -128,7 +132,9 @@ def solve_impulses(M: jnp.ndarray, J: jnp.ndarray, gv_free: jnp.ndarray,
             lam = one_contact(lam, i)
         return lam, None
 
-    lam0 = jnp.zeros((4, 3))
+    if lam0 is None:
+        lam0 = jnp.zeros((4, 3))
+    lam0 = lam0 * active[:, None]        # drop impulses of broken contacts
     lam, _ = jax.lax.scan(sweep, lam0, None, length=n_iter)
     gv_plus = gv_free + W @ lam.reshape(12)
     toe_vel_plus = jnp.einsum("cid,d->ci", J, gv_plus)
