@@ -807,6 +807,8 @@ def step_batch(cfg: EnvConfig, states: EnvState, actions: jnp.ndarray,
     """
     assert not cfg.crucial, \
         "step_batch supports the no-attack fast path; use vmap(step)"
+    assert not cfg.hard_contact, \
+        "hard contact runs on the vmap path only; use vmap(step)"
     keys = jax.vmap(lambda k: jax.random.split(k, 6))(states.key)  # (B,6,2)
     key, k_act, k_cmd, k_obs, k_attack, k_reset = (keys[:, i] for i in range(6))
 
