@@ -106,3 +106,77 @@ def mpc_rollout(cfg: EnvConfig, scfg: srb.SRBConfig, command: jnp.ndarray,
 
     _, logs = jax.lax.scan(scan_fn, state, None, length=n_steps)
     return logs
+
+
+class WBMPCRolloutLog(NamedTuple):
+    gc: jnp.ndarray          # (T, 19)
+    gv: jnp.ndarray          # (T, 18)
+    action: jnp.ndarray      # (T, 12) applied normalized PD targets
+    reward: jnp.ndarray      # (T,)
+    done: jnp.ndarray        # (T,)
+    solve_cost: jnp.ndarray  # (T,) iLQR cost of each (warm-started) plan
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps"))
+def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
+                   key: jax.Array, n_steps: int = 500) -> WBMPCRolloutLog:
+    """Closed-loop receding-horizon *whole-body iLQR* control.
+
+    The full-dynamics counterpart of :func:`mpc_rollout`: at every control
+    step the current [gc; gv] seeds a TrotProblem, the previous plan (shifted
+    by one knot) warm-starts a short iLQR solve through the contact dynamics
+    (mpc/trot.make_dynamics), and the first knot's control drives the env.
+    Receding-horizon warm starting is what makes this affordable: each
+    problem differs from the last by one control step, so 1-2 iLQR
+    iterations (mpc_cfg.n_iter) track the optimum — the classic MPC-iLQR
+    deployment pattern (vs. the cold-start batch solves of trot.solve).
+
+    The internal model uses the *nominal* parameters and flat ground — model
+    mismatch with the stepped env (DR off here) is the realism this tests.
+    """
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import (
+        cost as mcost,
+        ilqr,
+        trot,
+    )
+
+    cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                      stochastic_dynamics=False)
+    params = mdl.nominal_params(cfg)
+    dynamics = trot.make_dynamics(cfg, mpc_cfg, params)
+    w = mpc_cfg.weights
+    T = mpc_cfg.horizon
+
+    state = bp.env_init(cfg, key)
+    state = state._replace(command=command, command_filtered=command)
+    u0 = jnp.zeros((T, 12))
+
+    def scan_fn(carry, _):
+        state, us_prev = carry
+        prob = trot.make_problem(cfg, state.gc, state.gv, command,
+                                 state.current_time, T)
+
+        def cost_fn(x, u, t):
+            return mcost.stage_cost(cfg, w, x, u, prob.joint_refs[t],
+                                    prob.joint_dot_refs[t], command)
+
+        def term_fn(x):
+            return mcost.terminal_cost(cfg, w, x, prob.joint_refs[-1], command)
+
+        # shift last plan one knot forward; repeat the tail control
+        u_init = jnp.concatenate([us_prev[1:], us_prev[-1:]], axis=0)
+        res = ilqr.solve(dynamics, cost_fn, term_fn, prob.x0, u_init,
+                         n_iter=mpc_cfg.n_iter,
+                         linearize_chunk=mpc_cfg.linearize_chunk,
+                         n_alphas=mpc_cfg.n_alphas,
+                         relin_every=mpc_cfg.relin_every)
+        action = jnp.clip(res.us[0], -1.0, 1.0)
+        st = state._replace(command=command, command_filtered=command)
+        out = bp.step(cfg, st, action)
+        log = WBMPCRolloutLog(gc=out.state.gc, gv=out.state.gv, action=action,
+                              reward=out.reward, done=out.done,
+                              solve_cost=res.cost)
+        return (out.state, res.us), log
+
+    (_, _), logs = jax.lax.scan(scan_fn, (state, u0), None, length=n_steps)
+    return logs

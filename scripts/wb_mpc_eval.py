@@ -1,0 +1,59 @@
+"""Whole-body iLQR receding-horizon MPC: closed-loop tracking at cmd 1-5.
+
+The full-dynamics controller (runtime.wb_mpc_rollout) vs the convex SRB
+runtime's 3.0 m/s cmd-3 ceiling — the iLQR model knows leg kinematics and
+swing dynamics, so this is the principled path past cmd 3 (VERDICT item).
+Also sweeps the gait period (stride-frequency scaling) like scripts/mpc45.
+
+Usage: python scripts/wb_mpc_eval.py [n_steps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import eval as ev
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime, trot
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import profiling
+
+profiling.enable_compile_cache()
+
+
+def run(cfg, mc, cmd, n_steps):
+    t0 = time.time()
+    log = runtime.wb_mpc_rollout(cfg, mc, jnp.array([cmd, 0.0, 0.0]),
+                                 jax.random.PRNGKey(0), n_steps)
+    vb = ev.body_velocity(log)
+    v = float(vb[int(n_steps * 0.6):, 0].mean())
+    falls = int(np.asarray(log.done).sum())
+    print(f"  cmd {cmd:.0f} T={cfg.period:.2f} h{mc.horizon} it{mc.n_iter}: "
+          f"v={v:+.2f} falls={falls} cost~{float(np.asarray(log.solve_cost)[-100:].mean()):.2f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    return v, falls
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    base = config.test_default().replace(terrain=False, crucial=False)
+    mc = trot.MPCConfig(horizon=16, n_iter=2, model_substeps=2,
+                        linearize_chunk=4, n_alphas=4, relin_every=1)
+
+    print("=== whole-body receding-horizon MPC ===", flush=True)
+    for cmd in (1.0, 2.0, 3.0):
+        run(base, mc, cmd, n_steps)
+    print("=== stride-frequency scaling at cmd 4/5 ===", flush=True)
+    for period in (0.2, 0.14, 0.12):
+        cfg = base.replace(period=period)
+        for cmd in (4.0, 5.0):
+            run(cfg, mc, cmd, n_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,20 @@ def test_trot_solve_batch_lanes_parity(trot_setup):
     # both descend from the identical warm start
     tr_ = np.asarray(res.cost_trace)
     assert np.all(tr_[:, -1] <= tr_[:, 0] + 1e-6)
+
+
+@pytest.mark.slow
+def test_wb_mpc_receding_horizon_stands():
+    """Whole-body iLQR receding-horizon control (runtime.wb_mpc_rollout):
+    warm-started 1-iteration solves keep the robot upright closed-loop."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime
+
+    cfg = config.test_default().replace(terrain=False, crucial=False)
+    mc = trot.MPCConfig(horizon=6, n_iter=1, model_substeps=2,
+                        linearize_chunk=1, n_alphas=4)
+    log = runtime.wb_mpc_rollout(cfg, mc, jnp.array([0.5, 0.0, 0.0]),
+                                 jax.random.PRNGKey(0), 30)
+    assert int(np.asarray(log.done).sum()) == 0
+    z = np.asarray(log.gc)[:, 2]
+    assert (z > 0.2).all() and (z < 0.5).all()
+    assert np.isfinite(np.asarray(log.solve_cost)).all()
