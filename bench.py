@@ -61,9 +61,9 @@ def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
 
     cfg = config.test_default().replace(obs_noise=0.0)
+    chunk = int(os.environ.get("BENCH_ILQR_CHUNK", "1")) if lanes else 1
     mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=n_iter, model_substeps=2,
-                             linearize_chunk=(10 if lanes and horizon % 10 == 0
-                                              else 1))
+                             linearize_chunk=chunk)
     params = mdl.nominal_params(cfg)
     cmds = jnp.stack([jnp.array([1.0 + 3.0 * (i % 5) / 4.0, 0.0, 0.0])
                       for i in range(batch)])
@@ -180,13 +180,23 @@ def main():
     solves_per_s, mean_cost = _bench_srb(srb_batch, horizon)
     env_steps_per_s = _bench_env(env_batch, env_steps)
     control_mae = _bench_control_mae()
+    # The lanes-batched iLQR graph is compile-bound on the TPU toolchain
+    # (measured: >60 min XLA compile at batch 64 / chunk 10 / horizon 50 —
+    # runs/ilqr_lanes.log), so the bench only attempts it when a prior
+    # successful run left the marker (compile cache warm); otherwise the
+    # vmap whole-body solver is the measured extra.
+    use_lanes = os.path.exists(os.path.join(os.path.dirname(__file__) or ".",
+                                            ".ilqr_lanes_ok"))
     try:
-        ilqr_per_s = _bench_ilqr(ilqr_batch, horizon, n_iter=2 if small else 8)
+        ilqr_per_s = _bench_ilqr(ilqr_batch, horizon, n_iter=2 if small else 8,
+                                 lanes=use_lanes)
     except Exception as e:  # keep the headline even if the heavy extra fails
-        _log(f"bench: lanes iLQR extra failed ({e}); trying vmap path")
+        _log(f"bench: iLQR extra failed ({e})" +
+             ("; trying vmap path" if use_lanes else ""))
         try:
-            ilqr_per_s = _bench_ilqr(ilqr_batch, horizon,
-                                     n_iter=2 if small else 8, lanes=False)
+            ilqr_per_s = (_bench_ilqr(ilqr_batch, horizon,
+                                      n_iter=2 if small else 8, lanes=False)
+                          if use_lanes else None)
         except Exception as e2:
             _log(f"bench: iLQR extra failed: {e2}")
             ilqr_per_s = None

@@ -42,7 +42,7 @@ def bench(fn, probs, label):
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     horizon = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    chunk = int(os.environ.get("LIN_CHUNK", "10"))
+    chunk = int(os.environ.get("LIN_CHUNK", "1"))
     cfg = config.test_default().replace(obs_noise=0.0)
     params = mdl.nominal_params(cfg)
     mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=8, model_substeps=2,
@@ -56,6 +56,11 @@ def main():
 
     lanes_fn = jax.jit(lambda pr: trot.solve_batch_lanes(cfg, mpc_cfg, params, pr))
     s_lanes, c_lanes = bench(lanes_fn, probs, f"lanes B={B} chunk={chunk}")
+    if (B, horizon, chunk, mpc_cfg.n_iter) == (64, 50, 1, 8):
+        # exact config bench.py's lanes extra uses: mark the compile cache
+        # warm so bench.py dares attempt it (see bench.py notes)
+        open(os.path.join(os.path.dirname(__file__), "..", ".ilqr_lanes_ok"),
+             "w").close()
 
     if os.environ.get("SKIP_VMAP") != "1":
         pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
