@@ -85,6 +85,34 @@ def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
     return batch / dt
 
 
+def _bench_ppo(num_envs: int = 1024, repeats: int = 2, n_steps: int = None):
+    """Full PPO update throughput (rollout+GAE+10 epochs in one jit) at the
+    production configuration: 1024 envs on the batch-in-lanes physics.
+    Compile-bound first time (~28 min on the TPU toolchain), so only
+    attempted when scripts/bench_ppo.py has proven+cached this exact config
+    (the .ppo_lanes_ok marker)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.algo import ppo
+
+    env_cfg = config.train_default().replace(
+        num_envs=num_envs, use_lanes_physics=True)
+    ppo_cfg = ppo.PPOConfig(n_steps=n_steps or env_cfg.episode_len)
+    batch = num_envs * ppo_cfg.n_steps
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    update = jax.jit(ppo.make_update_fn(env_cfg, ppo_cfg))
+    _log(f"bench: compiling PPO update (lanes, envs={num_envs})...")
+    t_c = time.perf_counter()
+    ts, m = update(ts)
+    jax.block_until_ready(m["loss"])
+    _log(f"bench: PPO compile+first {time.perf_counter() - t_c:.0f}s")
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        ts, m = update(ts)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / repeats
+    return batch / dt
+
+
 def _bench_env(batch: int, n_steps: int, repeats: int = 3):
     from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
@@ -201,6 +229,14 @@ def main():
             _log(f"bench: iLQR extra failed: {e2}")
             ilqr_per_s = None
 
+    ppo_per_s = None
+    if not small and os.path.exists(
+            os.path.join(os.path.dirname(__file__) or ".", ".ppo_lanes_ok")):
+        try:
+            ppo_per_s = _bench_ppo()
+        except Exception as e:
+            _log(f"bench: PPO extra failed ({e})")
+
     print(json.dumps({
         "metric": "trot_mpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 2),
@@ -213,6 +249,8 @@ def main():
             "wholebody_ilqr_solves_per_s": (round(ilqr_per_s, 2)
                                             if ilqr_per_s else None),
             "control_mae_vs_bp5_155": control_mae,
+            "ppo_env_steps_per_s_per_chip": (round(ppo_per_s, 1)
+                                             if ppo_per_s else None),
             "env_steps_per_s_per_chip": round(env_steps_per_s, 1),
             "env_batch": env_batch,
             "device": str(jax.devices()[0]),

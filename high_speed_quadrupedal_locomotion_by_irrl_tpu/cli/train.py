@@ -52,7 +52,13 @@ def parse_args(argv):
                    help="shard the env batch over all local devices")
     p.add_argument("--lanes", action="store_true",
                    help="batch-in-lanes physics (~4x env throughput; long "
-                        "first compile, cached persistently in .jax_cache)")
+                        "first compile, cached persistently in .jax_cache). "
+                        "Auto-enabled at --num-envs >= 1024, where lanes is "
+                        "the measured win (114.8k vs 50.4k env-steps/s); "
+                        "below that the (N,)-wide lane vectors pad the 8x128 "
+                        "vector tile and vmap is faster")
+    p.add_argument("--no-lanes", action="store_true",
+                   help="force the vmap physics path even at large --num-envs")
     return p.parse_args(argv)
 
 
@@ -63,7 +69,12 @@ def main(argv=None):
         env_cfg = env_cfg.replace(seed=args.seed)
     if args.num_envs is not None:
         env_cfg = env_cfg.replace(num_envs=args.num_envs)
-    if args.lanes:
+    if env_cfg.num_envs >= 1024 and not args.no_lanes:
+        # lanes is the measured production-scale win (scripts/bench_ppo.py:
+        # 114.8k vs 50.4k env-steps/s at 1024 envs); below ~1k envs the
+        # (N,)-wide lane vectors pad the 8x128 vector tile and vmap wins.
+        args.lanes = True
+    if args.lanes and not args.no_lanes:
         from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import profiling
         profiling.enable_compile_cache()
         env_cfg = env_cfg.replace(use_lanes_physics=True)

@@ -47,6 +47,10 @@ def main():
     dt = (time.time() - t0) / n_updates
     print(f"{mode} envs={num_envs}: {batch/dt:.0f} env-steps/s "
           f"({dt*1e3:.0f} ms/update, batch {batch})", flush=True)
+    if (num_envs, mode) == (1024, "lanes"):
+        # exact config bench.py's ppo extra uses: mark the compile cache warm
+        open(os.path.join(os.path.dirname(__file__), "..", ".ppo_lanes_ok"),
+             "w").write(f"{batch/dt:.0f}\n")
 
 
 if __name__ == "__main__":
