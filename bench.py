@@ -62,8 +62,12 @@ def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
 
     cfg = config.test_default().replace(obs_noise=0.0)
     chunk = int(os.environ.get("BENCH_ILQR_CHUNK", "1")) if lanes else 1
+    # the lanes extra runs the frozen-operator linearizer (mpc/linearize.py):
+    # ~one physics eval per knot instead of 98 FD evals, and a compile-light
+    # jacfwd graph where the FD lanes sweep was compile-bound
     mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=n_iter, model_substeps=2,
-                             linearize_chunk=chunk)
+                             linearize_chunk=chunk,
+                             linearizer="frozen" if lanes else "fd")
     params = mdl.nominal_params(cfg)
     cmds = jnp.stack([jnp.array([1.0 + 3.0 * (i % 5) / 4.0, 0.0, 0.0])
                       for i in range(batch)])

@@ -170,7 +170,8 @@ def solve_batch(dynamics_b: Callable, cost_fn: Callable, term_cost_fn: Callable,
                 x0s: jnp.ndarray, u_inits: jnp.ndarray,
                 stage_args, term_args, n_iter: int = 8, reg: float = 1e-6,
                 lin_chunk: int = 0, n_alphas: int = 8,
-                relin_every: int = 1, fd_eps: float = 1e-3) -> ILQRResult:
+                relin_every: int = 1, fd_eps: float = 1e-3,
+                linearize_b: Callable | None = None) -> ILQRResult:
     """Batched iLQR where the *dynamics batch* is the TPU lane axis.
 
     The per-problem :func:`solve` above vmaps tiny dense physics over
@@ -203,6 +204,11 @@ def solve_batch(dynamics_b: Callable, cost_fn: Callable, term_cost_fn: Callable,
     batch; the O(h^2) truncation error is far below the Levenberg
     regularization scale. fd_eps=0 selects AD (jax.linearize) for small
     dense dynamics.
+    linearize_b: optional custom Jacobian provider
+    ``(X (K,n), U (K,m)) -> (A (K,n,n), B (K,n,m))`` that replaces the FD/AD
+    sweep entirely — e.g. mpc/linearize.make_frozen_linearizer, which gets
+    the Jacobians for ~one physics evaluation per knot instead of 2(n+m).
+    Rollouts and the line search still use the exact ``dynamics_b``.
     """
     B, T, m = u_inits.shape
     n = x0s.shape[-1]
@@ -239,7 +245,12 @@ def solve_batch(dynamics_b: Callable, cost_fn: Callable, term_cost_fn: Callable,
         """-> A (B,T,n,n), Bm (B,T,n,m) (see fd_eps in the docstring)."""
         eye = jnp.eye(n + m)
 
-        if fd_eps > 0.0:
+        if linearize_b is not None:
+            def block(_, inp):
+                X, U = inp                # (C*B, n), (C*B, m)
+                A_blk, B_blk = linearize_b(X, U)
+                return None, jnp.concatenate([A_blk, B_blk], axis=-1)
+        elif fd_eps > 0.0:
             def block(_, inp):
                 X, U = inp                # (C*B, n), (C*B, m)
                 def pert(e, sign):

@@ -42,6 +42,10 @@ class MPCConfig:
                             # rounding vs contact-stiffness smearing —
                             # measured 1e-4 noise-limited, 1e-3 smear-limited);
                             # 0 = AD (compile-infeasible through lanes)
+    linearizer: str = "fd"  # "fd" (central differences through the lanes
+                            # dynamics) or "frozen" (structure-exploiting
+                            # frozen-operator surrogate, mpc/linearize.py:
+                            # ~one physics eval per knot instead of 98)
     weights: mcost.CostWeights = dataclasses.field(default_factory=mcost.imitation_weights)
 
 
@@ -180,12 +184,17 @@ def solve_batch_lanes(cfg: EnvConfig, mpc_cfg: MPCConfig,
     stage_args = (probs.joint_refs, probs.joint_dot_refs, cmd_bt)
     term_args = (probs.joint_refs[:, -1], probs.command)
     u_inits = probs.joint_refs - mdl.stand_gc(cfg.abad)[7:]
+    linearize_b = None
+    if mpc_cfg.linearizer == "frozen":
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import linearize
+        linearize_b = linearize.make_frozen_linearizer(cfg, mpc_cfg, params)
     return ilqr.solve_batch(dynamics_b, cost_fn, term_fn, probs.x0, u_inits,
                             stage_args, term_args, n_iter=mpc_cfg.n_iter,
                             lin_chunk=mpc_cfg.linearize_chunk,
                             n_alphas=mpc_cfg.n_alphas,
                             relin_every=mpc_cfg.relin_every,
-                            fd_eps=mpc_cfg.fd_eps)
+                            fd_eps=mpc_cfg.fd_eps,
+                            linearize_b=linearize_b)
 
 
 def standing_x0(cfg: EnvConfig) -> jnp.ndarray:

@@ -42,11 +42,13 @@ def bench(fn, probs, label):
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     horizon = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    linearizer = sys.argv[3] if len(sys.argv) > 3 else "fd"
     chunk = int(os.environ.get("LIN_CHUNK", "1"))
     cfg = config.test_default().replace(obs_noise=0.0)
     params = mdl.nominal_params(cfg)
     mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=8, model_substeps=2,
-                             linearize_chunk=chunk, n_alphas=8)
+                             linearize_chunk=chunk, n_alphas=8,
+                             linearizer=linearizer)
 
     cmds = jnp.stack([jnp.array([0.5 + 2.5 * i / B, 0.0, 0.0])
                       for i in range(B)])
@@ -55,8 +57,10 @@ def main():
         horizon))(cmds)
 
     lanes_fn = jax.jit(lambda pr: trot.solve_batch_lanes(cfg, mpc_cfg, params, pr))
-    s_lanes, c_lanes = bench(lanes_fn, probs, f"lanes B={B} chunk={chunk}")
-    if (B, horizon, chunk, mpc_cfg.n_iter) == (64, 50, 1, 8):
+    s_lanes, c_lanes = bench(lanes_fn, probs,
+                             f"lanes[{linearizer}] B={B} chunk={chunk}")
+    if (B, horizon, chunk, mpc_cfg.n_iter,
+            linearizer) == (64, 50, 1, 8, "frozen"):
         # exact config bench.py's lanes extra uses: mark the compile cache
         # warm so bench.py dares attempt it (see bench.py notes)
         open(os.path.join(os.path.dirname(__file__), "..", ".ilqr_lanes_ok"),

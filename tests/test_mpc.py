@@ -183,3 +183,72 @@ def test_wb_mpc_receding_horizon_stands():
     z = np.asarray(log.gc)[:, 2]
     assert (z > 0.2).all() and (z < 0.5).all()
     assert np.isfinite(np.asarray(log.solve_cost)).all()
+
+
+def test_frozen_linearizer_jacobian_accuracy(trot_setup):
+    """Frozen-operator Jacobians (mpc/linearize.py) vs central FD of the TRUE
+    control-step dynamics at a stance state: the surrogate freezes only the
+    smooth O(v^2)/O(g) operators, so its A,B must track the stiff
+    contact/PD-dominated true Jacobians closely."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import linearize
+
+    cfg, mpc_cfg, params = trot_setup
+    lin = linearize.make_frozen_linearizer(cfg, mpc_cfg, params)
+    true_step = trot.make_dynamics(cfg, mpc_cfg, params)
+
+    # stance state with a slight crouch + nonzero joint velocities
+    x = trot.standing_x0(cfg)
+    x = x.at[2].add(-0.01).at[19 + 6 :].add(0.3)
+    u = 0.05 * jnp.sin(jnp.arange(12.0))
+
+    A_s, B_s = jax.jit(lin)(x[None], u[None])
+    A_s, B_s = np.asarray(A_s[0]), np.asarray(B_s[0])
+
+    eps = 3e-4
+    n, m = 37, 12
+    eye = np.eye(n + m)
+
+    @jax.jit
+    def fd_all(cols):
+        def one(col, sign):
+            return true_step(x + sign * eps * col[:n],
+                             u + sign * eps * col[n:], 0)
+        fp = jax.vmap(lambda c: one(c, 1.0))(cols)
+        fm = jax.vmap(lambda c: one(c, -1.0))(cols)
+        return (fp - fm) / (2 * eps)
+
+    J_true = np.asarray(fd_all(jnp.asarray(eye))).T  # (n, n+m)
+    A_t, B_t = J_true[:, :n], J_true[:, n:]
+
+    # B (actuation Jacobian) is PD-dominated -> near-exact
+    assert np.linalg.norm(B_s - B_t) / np.linalg.norm(B_t) < 0.05
+    # A: the deviation is only the frozen Coriolis/M^-1 variation
+    assert np.linalg.norm(A_s - A_t) / np.linalg.norm(A_t) < 0.15
+
+
+def test_trot_frozen_linearizer_solver_parity(trot_setup):
+    """solve_batch_lanes with linearizer='frozen' descends to costs on par
+    with the FD linearizer (rollouts are exact in both; only the Jacobian
+    operator differs)."""
+    import dataclasses
+
+    cfg, mpc_cfg, params = trot_setup
+    mpc_cfg = dataclasses.replace(mpc_cfg, n_iter=6)
+    B = 2
+    cmds = jnp.stack([jnp.array([v, 0.0, 0.0]) for v in (0.5, 1.5)])
+    probs = jax.vmap(lambda c: trot.make_problem(
+        cfg, trot.standing_x0(cfg)[:19], jnp.zeros(18), c, jnp.asarray(0.0),
+        mpc_cfg.horizon))(cmds)
+
+    fd_res = jax.jit(
+        lambda pr: trot.solve_batch_lanes(cfg, mpc_cfg, params, pr))(probs)
+    fz_cfg = dataclasses.replace(mpc_cfg, linearizer="frozen")
+    fz_res = jax.jit(
+        lambda pr: trot.solve_batch_lanes(cfg, fz_cfg, params, pr))(probs)
+
+    assert np.all(np.isfinite(np.asarray(fz_res.cost)))
+    tr_ = np.asarray(fz_res.cost_trace)
+    assert np.all(tr_[:, -1] <= tr_[:, 0] + 1e-6)  # descends
+    # within 10% of the FD-linearized solution cost
+    np.testing.assert_allclose(np.asarray(fz_res.cost),
+                               np.asarray(fd_res.cost), rtol=0.10)
