@@ -47,7 +47,8 @@ def main():
     cfg = config.test_default().replace(obs_noise=0.0)
     params = mdl.nominal_params(cfg)
     mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=8, model_substeps=2,
-                             linearize_chunk=chunk, n_alphas=8,
+                             linearize_chunk=chunk,
+                             n_alphas=int(os.environ.get("N_ALPHAS", "8")),
                              linearizer=linearizer)
 
     cmds = jnp.stack([jnp.array([0.5 + 2.5 * i / B, 0.0, 0.0])
@@ -59,8 +60,8 @@ def main():
     lanes_fn = jax.jit(lambda pr: trot.solve_batch_lanes(cfg, mpc_cfg, params, pr))
     s_lanes, c_lanes = bench(lanes_fn, probs,
                              f"lanes[{linearizer}] B={B} chunk={chunk}")
-    if (B, horizon, chunk, mpc_cfg.n_iter,
-            linearizer) == (64, 50, 1, 8, "frozen"):
+    if (B, horizon, chunk, mpc_cfg.n_iter, mpc_cfg.n_alphas,
+            linearizer) == (64, 50, 1, 8, 8, "frozen"):
         # exact config bench.py's lanes extra uses: mark the compile cache
         # warm so bench.py dares attempt it (see bench.py notes)
         open(os.path.join(os.path.dirname(__file__), "..", ".ilqr_lanes_ok"),
