@@ -52,7 +52,8 @@ def _total_cost(cost_fn: Callable, term_cost_fn: Callable,
 def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
           x0: jnp.ndarray, u_init: jnp.ndarray, n_iter: int = 10,
           reg: float = 1e-6, linearize_chunk: int = 1,
-          n_alphas: int = 8, relin_every: int = 1) -> ILQRResult:
+          n_alphas: int = 8, relin_every: int = 1,
+          linearize_fn: Callable | None = None) -> ILQRResult:
     """Minimize sum_t cost(x_t, u_t, t) + term(x_T) s.t. x_{t+1}=dynamics(x_t,u_t,t).
 
     dynamics: (n,), (m,), () -> (n,);  cost_fn: (n,), (m,), () -> ();
@@ -70,7 +71,12 @@ def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
     relin_every: recompute the dynamics jacobians only on iterations
     i % relin_every == 0 (Gauss-Newton-style jacobian reuse) — the
     linearization is the dominant cost per iteration, and near convergence
-    stale jacobians barely change the step."""
+    stale jacobians barely change the step.
+    linearize_fn: optional custom Jacobian provider
+    ``(X (C,n), U (C,m)) -> (A (C,n,n), B (C,n,m))`` replacing the jacfwd
+    sweep through the full dynamics (e.g. the frozen-operator surrogate of
+    mpc/linearize.py — ~one physics eval per knot instead of n+m tangents,
+    and a compile-light graph). Only valid for time-invariant dynamics."""
     T, m = u_init.shape
     n = x0.shape[0]
     alphas = 0.5 ** jnp.arange(n_alphas)
@@ -90,7 +96,10 @@ def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
         """(A, B) over the horizon via a chunked scan (memory-bounded)."""
         def block(_, inp):
             x_c, u_c, t_c = inp
-            A_c, B_c = jax.vmap(fxu_fn)(x_c, u_c, t_c)
+            if linearize_fn is not None:
+                A_c, B_c = linearize_fn(x_c, u_c)
+            else:
+                A_c, B_c = jax.vmap(fxu_fn)(x_c, u_c, t_c)
             return None, (A_c, B_c)
         resh = lambda a: a.reshape((T // linearize_chunk, linearize_chunk) + a.shape[1:])
         _, (A, B) = jax.lax.scan(block, None, (resh(xs[:-1]), resh(us), resh(ts)))

@@ -169,7 +169,9 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
                          n_iter=mpc_cfg.n_iter,
                          linearize_chunk=mpc_cfg.linearize_chunk,
                          n_alphas=mpc_cfg.n_alphas,
-                         relin_every=mpc_cfg.relin_every)
+                         relin_every=mpc_cfg.relin_every,
+                         linearize_fn=trot.make_linearize_fn(
+                             cfg, mpc_cfg, params))
         action = jnp.clip(res.us[0], -1.0, 1.0)
         st = state._replace(command=command, command_filtered=command)
         out = bp.step(cfg, st, action)

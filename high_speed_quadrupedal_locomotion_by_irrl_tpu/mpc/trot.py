@@ -94,6 +94,15 @@ def make_dynamics(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams):
     return step
 
 
+def make_linearize_fn(cfg: EnvConfig, mpc_cfg: MPCConfig,
+                      params: mdl.RobotParams):
+    """The MPCConfig-selected Jacobian provider (None = jacfwd/FD default)."""
+    if mpc_cfg.linearizer != "frozen":
+        return None
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import linearize
+    return linearize.make_frozen_linearizer(cfg, mpc_cfg, params)
+
+
 def solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams,
           prob: TrotProblem) -> ilqr.ILQRResult:
     dynamics = make_dynamics(cfg, mpc_cfg, params)
@@ -113,7 +122,8 @@ def solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams,
                       n_iter=mpc_cfg.n_iter,
                       linearize_chunk=mpc_cfg.linearize_chunk,
                       n_alphas=mpc_cfg.n_alphas,
-                      relin_every=mpc_cfg.relin_every)
+                      relin_every=mpc_cfg.relin_every,
+                      linearize_fn=make_linearize_fn(cfg, mpc_cfg, params))
 
 
 def batched_solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params_batch: mdl.RobotParams,
