@@ -42,8 +42,12 @@ def run(cfg, mc, cmd, n_steps):
 def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     base = config.test_default().replace(terrain=False, crucial=False)
+    # frozen-operator linearizer: ~1 physics eval per knot instead of 49
+    # jacfwd tangents (mpc/linearize.py) — exact rollouts, surrogate
+    # Jacobians; verified closed-loop stable (tests/test_mpc.py)
     mc = trot.MPCConfig(horizon=16, n_iter=2, model_substeps=2,
-                        linearize_chunk=4, n_alphas=4, relin_every=1)
+                        linearize_chunk=4, n_alphas=4, relin_every=1,
+                        linearizer="frozen")
 
     print("=== whole-body receding-horizon MPC ===", flush=True)
     for cmd in (1.0, 2.0, 3.0):

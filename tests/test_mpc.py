@@ -169,14 +169,17 @@ def test_trot_solve_batch_lanes_parity(trot_setup):
 
 
 @pytest.mark.slow
-def test_wb_mpc_receding_horizon_stands():
+@pytest.mark.parametrize("linearizer", ["fd", "frozen"])
+def test_wb_mpc_receding_horizon_stands(linearizer):
     """Whole-body iLQR receding-horizon control (runtime.wb_mpc_rollout):
-    warm-started 1-iteration solves keep the robot upright closed-loop."""
+    warm-started 1-iteration solves keep the robot upright closed-loop —
+    with both the exact jacfwd linearization and the frozen-operator
+    surrogate (mpc/linearize.py, ~49x fewer physics evals per solve)."""
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime
 
     cfg = config.test_default().replace(terrain=False, crucial=False)
     mc = trot.MPCConfig(horizon=6, n_iter=1, model_substeps=2,
-                        linearize_chunk=1, n_alphas=4)
+                        linearize_chunk=1, n_alphas=4, linearizer=linearizer)
     log = runtime.wb_mpc_rollout(cfg, mc, jnp.array([0.5, 0.0, 0.0]),
                                  jax.random.PRNGKey(0), 30)
     assert int(np.asarray(log.done).sum()) == 0
