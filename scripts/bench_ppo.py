@@ -5,7 +5,12 @@ round-2 one (the lanes path is *slower* at 200 envs — (200,)-wide lane
 vectors pad the 8x128 vector tile to ~20% utilization — but pulls ahead
 once the batch fills the lanes) are both measured here.
 
-Usage: python scripts/bench_ppo.py [num_envs] [lanes|vmap] [n_updates]
+Usage: python scripts/bench_ppo.py [num_envs] [lanes|vmap] [n_updates] [terrain]
+
+The optional 4th arg turns on the sampled 500x20 m fractal heightmap
+(phys/terrain.SampledTerrain) — measures rough-terrain training throughput,
+the workload the reference's flat-ground-only OpenMP fan-out never had a
+fast path for (Environment.hpp:252-269 terrain exists but at 1x CPU speed).
 """
 
 import os
@@ -27,9 +32,13 @@ def main():
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     mode = sys.argv[2] if len(sys.argv) > 2 else "lanes"
     n_updates = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    terrain = len(sys.argv) > 4 and sys.argv[4] == "terrain"
 
     env_cfg = config.train_default().replace(
-        num_envs=num_envs, use_lanes_physics=(mode == "lanes"))
+        num_envs=num_envs, use_lanes_physics=(mode == "lanes"),
+        terrain=terrain)
+    if terrain:
+        mode = mode + "+terrain"
     ppo_cfg = ppo.PPOConfig(n_steps=env_cfg.episode_len)
     batch = num_envs * ppo_cfg.n_steps
 
