@@ -64,6 +64,31 @@ def work_condition_figure(wc, cfg, path: str):
     ax.legend(); fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
 
 
+def recorded_velocity_figure(vel_body, dt: float, path: str,
+                             v_cmd: float | None = None,
+                             title: str = ""):
+    """Body-frame velocity trace of a recorded run (Figure3-style panel over
+    a RobotBodyInfo stream). vel_body: (T, 3) from RobotBodyInfo.vel_body."""
+    plt = _mpl()
+    v = np.asarray(vel_body)
+    t = np.arange(v.shape[0]) * dt
+    fig, ax = plt.subplots(figsize=(7, 3.2))
+    ax.plot(t, v[:, 0], lw=0.7, label="$v_x^B$")
+    ax.plot(t, v[:, 1], lw=0.7, alpha=0.6, label="$v_y^B$")
+    if v_cmd is not None:
+        ax.axhline(v_cmd, color="k", ls="--", lw=1, label="command")
+    # steady-state mean over the back half (the parity anchor statistic)
+    half = v.shape[0] // 2
+    m = float(v[half:, 0].mean())
+    ax.axhline(m, color="C3", ls=":", lw=1,
+               label=f"steady mean {m:.2f} m/s")
+    ax.set_xlabel("t [s]"); ax.set_ylabel("body velocity [m/s]")
+    if title:
+        ax.set_title(title, fontsize=9)
+    ax.legend(fontsize=8, ncol=4)
+    fig.tight_layout(); fig.savefig(path, dpi=130); plt.close(fig)
+
+
 def latency_figure(rows, path: str):
     plt = _mpl()
     fig, ax = plt.subplots(figsize=(5, 4))
@@ -165,7 +190,7 @@ def ternary_landscape_figure(res, comps, path: str, normalized: bool = True):
             z = (z - z.min()) / max(z.max() - z.min(), 1e-12)
         tc = ax.tricontourf(x, y, z, levels=50, cmap="magma")
         ax.plot([0, 1, 0.5, 0], [0, 0, np.sqrt(3) / 2, 0], "k-", lw=0.8)
-        ax.set_title(name)
+        ax.set_title(name, y=1.12)  # above the Theta_2 vertex label
         ax.set_aspect("equal"); ax.axis("off")
         # vertex labels: w0 (left), w1 (right), w2 (top)
         ax.text(-0.05, -0.06, r"$\Theta_0$", ha="center", fontsize=8)
