@@ -89,11 +89,15 @@ def recorded_velocity_figure(vel_body, dt: float, path: str,
     fig.tight_layout(); fig.savefig(path, dpi=130); plt.close(fig)
 
 
-def latency_figure(rows, path: str):
+def latency_figure(rows, path: str, title: str = ""):
     plt = _mpl()
     fig, ax = plt.subplots(figsize=(5, 4))
-    ax.plot([r["latency_ms"] for r in rows], [r["v_mean"] for r in rows], "o-")
+    ax.errorbar([r["latency_ms"] for r in rows], [r["v_mean"] for r in rows],
+                yerr=[r.get("v_err", 0.0) for r in rows], marker="o",
+                capsize=3)
     ax.set_xlabel("control latency [ms]"); ax.set_ylabel("achieved $v_x^B$ [m/s]")
+    if title:
+        ax.set_title(title, fontsize=9)
     fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
 
 
@@ -122,6 +126,61 @@ def tracking_panels_figure(logs_by_cmd, dt: float, path: str, sign: float = 1.0)
     axes[0].set_ylabel("$v_x^B$ [m/s]"); axes[0].legend(fontsize=7, ncol=2)
     axes[1].set_ylabel("body height [m]"); axes[1].set_xlabel("time [s]")
     fig.tight_layout(); fig.savefig(path, dpi=150); plt.close(fig)
+
+
+def kappa_latency_figure(rows, path: str, entropy_curves=None):
+    """Figure4.py:364-390 twin-axis panel: recovery rate kappa (left, C0)
+    and achieved forward speed (right, C3) vs control latency.
+
+    rows: dicts with latency_ms, kappa, kappa_err (optional), v_mean,
+    v_err (optional). entropy_curves: optional {label: (t, entropy, fit_y)}
+    inset data appended as a second panel showing the raw entropy decays."""
+    plt = _mpl()
+    ncols = 2 if entropy_curves else 1
+    fig, axs = plt.subplots(1, ncols, figsize=(5 * ncols, 4))
+    ax = axs[0] if entropy_curves else axs
+    lat = [r["latency_ms"] for r in rows]
+    ax.errorbar(lat, [r["kappa"] for r in rows],
+                yerr=[3 * r.get("kappa_err", 0.0) for r in rows],
+                marker="o", capsize=4, lw=2, color="C0")
+    ax.set_xlabel("Latency (ms)")
+    ax.set_ylabel(r"$\kappa\ (\log_e/\mathrm{s})$", color="C0")
+    ax.tick_params(axis="y", labelcolor="C0")
+    ax.axhline(0.0, color="k", lw=0.5, ls=":")
+    ax2 = ax.twinx()
+    ax2.errorbar(lat, [r["v_mean"] for r in rows],
+                 yerr=[3 * r.get("v_err", 0.0) for r in rows],
+                 marker="s", capsize=4, lw=2, color="C3", alpha=0.8)
+    ax2.set_ylabel(r"$v_x^B$ (m/s)", color="C3")
+    ax2.tick_params(axis="y", labelcolor="C3")
+    if entropy_curves:
+        for label, (t, ent, fit_y) in entropy_curves.items():
+            axs[1].plot(t, ent, lw=0.8, alpha=0.6)
+            axs[1].plot(t, fit_y, lw=1.5, ls="--", label=label)
+        axs[1].set_xlabel("t [s]"); axs[1].set_ylabel("ensemble entropy [nats]")
+        axs[1].legend(fontsize=7)
+    fig.tight_layout(); fig.savefig(path, dpi=140); plt.close(fig)
+
+
+def poincare_figure(series_by_label, path: str, lag_steps: int = 1,
+                    xlabel: str = "$x_n$", ylabel: str = "$x_{n+1}$"):
+    """Figure4 plot_poincare: first-return maps x_n vs x_{n+lag} per series
+    (limit-cycle convergence indicator). series_by_label: {label: (T,) array}."""
+    plt = _mpl()
+    n = len(series_by_label)
+    fig, axes = plt.subplots(1, n, figsize=(2.6 * n, 2.8), squeeze=False)
+    for ax, (label, x) in zip(axes[0], series_by_label.items()):
+        x = np.asarray(x)
+        lo, hi = float(x.min()), float(x.max())
+        pad = 0.08 * max(hi - lo, 1e-6)
+        ax.plot([lo - pad, hi + pad], [lo - pad, hi + pad], color="C0", lw=0.5)
+        ax.scatter(x[:-lag_steps], x[lag_steps:], marker="x", s=6,
+                   color="C1", alpha=0.5, linewidth=0.5)
+        ax.set_xlim(lo - pad, hi + pad); ax.set_ylim(lo - pad, hi + pad)
+        ax.set_title(label, fontsize=8)
+        ax.set_xlabel(xlabel, fontsize=7); ax.set_ylabel(ylabel, fontsize=7)
+        ax.tick_params(labelsize=6)
+    fig.tight_layout(); fig.savefig(path, dpi=140); plt.close(fig)
 
 
 def tcot_grouped_figure(results_by_controller, path: str):

@@ -142,6 +142,34 @@ class RobotBodyInfo:
         R = _quat_to_matrix_np(self.data[:, 3:7])
         return R[:, 2, :]
 
+    @property
+    def posture(self) -> np.ndarray:
+        """(T, 3) roll/pitch/yaw, ZYX — Rotation.py's qua2euler semantics."""
+        w, x, y, z = (self.data[:, 3], self.data[:, 4],
+                      self.data[:, 5], self.data[:, 6])
+        roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+        pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1.0, 1.0))
+        yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+        return np.stack([roll, pitch, yaw], axis=-1)
+
+    def _formatted(self, arr: np.ndarray) -> np.ndarray:
+        """The reference's ensemble view (Figure4.py:76-100):
+        (NoEnv, FoE//skip, NoE, k)."""
+        per = self.frames_per_episode // self.skip
+        return arr.reshape(self.n_env, per, self.n_episodes, arr.shape[-1])
+
+    @property
+    def vel_formatted(self) -> np.ndarray:
+        return self._formatted(self.vel_body)
+
+    @property
+    def omega_formatted(self) -> np.ndarray:
+        return self._formatted(self.omega_body)
+
+    @property
+    def posture_formatted(self) -> np.ndarray:
+        return self._formatted(self.posture)
+
     def episodes(self) -> np.ndarray:
         """(NoE*NoEnv, FoE//skip, 13) view grouped per recorded episode."""
         per = self.frames_per_episode // self.skip

@@ -159,6 +159,159 @@ def latency_recovery(cfg: EnvConfig, params, vx: float,
     return rows
 
 
+# --- the reference's OWN kappa estimator: ensemble-entropy decay ----------
+#
+# Figure4.py:160-167 + :294-340 quantify recovery as the decay rate of the
+# Shannon entropy of an episode ENSEMBLE in a quantized 6-d body-state space
+# [z, roll, pitch, z_dot^B, roll_dot^B, pitch_dot^B]: thousands of episodes
+# start with randomized body-state noise, the per-frame ensemble entropy
+# contracts as the controller re-converges, and kappa is the slope of the
+# linear (log_e) segment of a piecewise flat-linear-flat fit. The recorded
+# ensembles behind the paper's panel are absent from the repo
+# (.MISSING_LARGE_BLOBS), so these functions regenerate the experiment from
+# fresh vmapped rollouts and fit it with the reference's exact estimator.
+
+ENTROPY_LB = np.array([0.0, -3.14, -1.57, -10.0, -10.0, -10.0])
+ENTROPY_UB = np.array([0.5, 3.14, 1.57, 10.0, 10.0, 10.0])
+ENTROPY_PRECISION = np.array([0.005, 0.02, 0.02, 0.005, 0.025, 0.025])
+# the Param-file noise protocol (e.g. Param-2021-06-22-15-07-36.txt):
+# z 0.02 m, roll/pitch 0.25 rad, z_dot/roll_dot/pitch_dot 1.0
+ENTROPY_NOISE = np.array([0.02, 0.25, 0.25, 1.0, 1.0, 1.0])
+
+
+def ensemble_entropy(x: np.ndarray, lb=ENTROPY_LB, ub=ENTROPY_UB,
+                     precision=ENTROPY_PRECISION) -> float:
+    """Shannon entropy (nats) of one frame's episode ensemble (N, 6) in the
+    reference's quantized state cells (Figure4.py:160-167)."""
+    q = (np.clip(x, lb, ub) / precision).astype(np.int32)
+    _, freq = np.unique(q, axis=0, return_counts=True)
+    p = freq / x.shape[0]
+    return float(-np.sum(p * np.log(p)))
+
+
+def piecewise_flat_linear_flat(x, a, b, c, d):
+    """Figure4.py:169-173: constant b until a, slope d on [a, c], flat after."""
+    x = np.asarray(x, dtype=float)
+    y = np.where(x <= a, b,
+                 np.where(x <= c, d * (x - a) + b, d * (c - a) + b))
+    return y
+
+
+def fit_entropy_kappa(t: np.ndarray, ent: np.ndarray) -> dict:
+    """curve_fit of the piecewise model with the reference's bounds
+    (Figure4.py:318-336); kappa = the linear-segment slope d [log_e/s]."""
+    from scipy.optimize import curve_fit
+
+    lb = np.array([0.0, 0.0, 1e-3, -20.0])
+    ub = np.array([1.0, max(10.0, float(ent.max()) * 2), 2.0, 2.0])
+    p, cov = curve_fit(piecewise_flat_linear_flat, np.asarray(t, float),
+                       np.asarray(ent, float), bounds=(lb, ub), maxfev=20000)
+    err = np.sqrt(np.diag(cov))
+    return {"kappa": float(p[3]), "kappa_err": float(err[3]),
+            "a": float(p[0]), "b": float(p[1]), "c": float(p[2]),
+            "popt": p, "pcov": cov}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_episodes", "n_steps",
+                                             "skip", "delay_steps"))
+def entropy_ensemble_rollout(cfg: EnvConfig, params, command, key,
+                             n_episodes: int = 4096, n_steps: int = 500,
+                             skip: int = 5, delay_steps: int = 0):
+    """The Figure-4 disturbance-ensemble experiment as ONE vmapped batch.
+
+    Every episode starts from the commanded gait with uniform body-state
+    noise of the Param protocol (ENTROPY_NOISE) injected into
+    [z, roll, pitch, z_dot, roll_dot, pitch_dot]; the closed loop then runs
+    n_steps and the 6 entropy features (+ v_x^B as column 7) are recorded
+    every ``skip`` control steps. Returns (features (F, N, 7), died (N,))
+    with F = ceil(n_steps/skip). The base state (gait phase, joint pose) is
+    SHARED across the ensemble — episodes differ only by the noise draw."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils.rotation import (
+        euler2qua,
+        qua2euler,
+    )
+
+    cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                      stochastic_dynamics=False)
+    cmd_n = (command - bp.obs_mean(cfg)[:3]) / bp.obs_std(cfg)[:3]
+    s_size = lstm.state_size([w.wh.shape[0] for w in params.pi_lstm])
+    noise = jnp.asarray(ENTROPY_NOISE)
+
+    # ONE shared base state (same gait phase/joint pose across the whole
+    # ensemble) — episodes differ ONLY by the injected body-state noise, so
+    # the ensemble entropy contracts to ~0 as the controller re-converges.
+    # Per-episode random phases would pin the entropy at log(N) forever.
+    key_base, key_noise = jax.random.split(key)
+    base = bp.env_init(cfg, key_base)
+    base = base._replace(command=command, command_filtered=command)
+
+    def init_one(st, k):
+        ku, kenv = jax.random.split(k)
+        u = jax.random.uniform(ku, (6,), minval=-1.0, maxval=1.0) * noise
+        e = qua2euler(st.gc[3:7])
+        q = euler2qua(jnp.array([e[0] + u[1], e[1] + u[2], e[2]]))
+        gc = st.gc.at[2].add(u[0]).at[3:7].set(q)
+        gv = st.gv.at[2].add(u[3]).at[3].add(u[4]).at[4].add(u[5])
+        return st._replace(gc=gc, gv=gv, key=kenv)
+
+    states = jax.vmap(lambda k: init_one(base, k))(
+        jax.random.split(key_noise, n_episodes))
+    obs0 = jax.vmap(lambda s: bp.observe(cfg, s))(states)
+    lstm0 = jnp.zeros((n_episodes, s_size))
+    buf0 = jnp.tile(obs0[:, None], (1, max(delay_steps, 1), 1))
+
+    def features(st):
+        """6 entropy features + v_x^B as a 7th column (performance axis)."""
+        R = quat_to_matrix(st.gc[3:7])
+        e = qua2euler(st.gc[3:7])
+        vb = R.T @ st.gv[:3]
+        wb = R.T @ st.gv[3:6]
+        return jnp.array([st.gc[2], e[0], e[1], vb[2], wb[0], wb[1], vb[0]])
+
+    def scan_fn(carry, idx):
+        states, lstm_state, obs, buf, died = carry
+        if delay_steps > 0:
+            delayed = buf[:, idx % delay_steps]
+            buf = buf.at[:, idx % delay_steps].set(obs)
+        else:
+            delayed = obs
+        o = delayed.at[:, :3].set(cmd_n)
+        action, lstm_state = lstm.deterministic_action(
+            params, o, lstm_state, jnp.zeros((n_episodes,)))
+        out = jax.vmap(lambda s, a: bp.step(cfg, s._replace(
+            command=command, command_filtered=command), a))(states, action)
+        died = jnp.logical_or(died, out.done > 0)
+        feat = jax.vmap(features)(out.state)
+        return (out.state, lstm_state, out.obs, buf, died), feat
+
+    (_, _, _, _, died), feats = jax.lax.scan(
+        scan_fn, (states, lstm0, obs0, buf0,
+                  jnp.zeros((n_episodes,), bool)),
+        jnp.arange(n_steps))
+    return feats[::skip], died
+
+
+def entropy_kappa(cfg: EnvConfig, params, command, key,
+                  n_episodes: int = 4096, n_steps: int = 500,
+                  skip: int = 5, delay_steps: int = 0) -> dict:
+    """End-to-end Figure-4 kappa: ensemble rollout -> per-frame entropy ->
+    piecewise fit. Returns the fit dict + t/entropy arrays + survival."""
+    feats, died = entropy_ensemble_rollout(cfg, params, command, key,
+                                           n_episodes, n_steps, skip,
+                                           delay_steps)
+    feats = np.asarray(feats)
+    t = np.arange(feats.shape[0]) * cfg.control_dt * skip
+    ent = np.array([ensemble_entropy(f[:, :6]) for f in feats])
+    fit = fit_entropy_kappa(t, ent)
+    sign = -1.0 if cfg.wildcat else 1.0
+    vx = sign * feats[int(feats.shape[0] * 0.6):, :, 6]
+    fit.update(t=t, entropy=ent,
+               v_mean=float(vx.mean()), v_err=float(vx.std()),
+               survival=float(1.0 - np.asarray(died).mean()),
+               latency_ms=delay_steps * cfg.control_dt * 1e3)
+    return fit
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "kick_step",
                                              "delay_steps"))
 def _kick_rollout_delayed(cfg: EnvConfig, params, command, kick_dv, key,

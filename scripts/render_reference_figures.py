@@ -86,6 +86,62 @@ def velocity_panel(outdir: str) -> None:
     print(f"wrote {out} ({rb.data.shape[0]} frames)")
 
 
+def latency_panel(outdir: str) -> None:
+    """Hardware-protocol speed-vs-latency (the C3 axis of Figure4.py:330-392)
+    from the six recorded runs at delay 0..5 control steps (0..10 ms)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
+        figures,
+        rawdata,
+    )
+
+    stamps = ["2021-06-22-16-48-33", "2021-06-22-16-48-55",
+              "2021-06-22-16-49-18", "2021-06-22-16-49-38",
+              "2021-06-22-16-50-00", "2021-06-22-16-50-21"]
+    rows = []
+    for s in stamps:
+        bin_f = os.path.join(RAW, f"body-center-{s}.bin")
+        par_f = os.path.join(RAW, f"Param-{s}.txt")
+        if not (os.path.exists(bin_f) and os.path.exists(par_f)):
+            print(f"missing {s}; skipping latency panel")
+            return
+        rb = rawdata.RobotBodyInfo(bin_f, par_f)
+        vx = rb.vel_formatted[0, :, 0, 0]
+        rows.append({"latency_ms": 2.0 * float(rb.cfg["delay"]),
+                     "v_mean": float(vx.mean()), "v_err": float(vx.std())})
+    out = os.path.join(outdir, "speed_vs_latency_reference_data.png")
+    figures.latency_figure(rows, out,
+                           title="recorded bp5_155, V_Max=5 (Figure4 panel)")
+    print(f"wrote {out}")
+
+
+def poincare_panel(outdir: str) -> None:
+    """First-return maps of v_x^B sampled once per gait period at 6/8/10 ms
+    latency (Figure4 plot_poincare: limit-cycle degradation with delay)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
+        figures,
+        rawdata,
+    )
+
+    stamps = {"2021-07-22-16-07-01": "6 ms", "2021-07-22-16-07-19": "8 ms",
+              "2021-07-22-16-07-38": "10 ms"}
+    series = {}
+    for s, label in stamps.items():
+        bin_f = os.path.join(RAW, f"body-center-{s}.bin")
+        par_f = os.path.join(RAW, f"Param-{s}.txt")
+        if not (os.path.exists(bin_f) and os.path.exists(par_f)):
+            print(f"missing {s}; skipping poincare panel")
+            return
+        rb = rawdata.RobotBodyInfo(bin_f, par_f)
+        # one sample per 0.2 s gait period (100 control steps), offset mid-cycle
+        sel = np.arange(50, rb.frames_per_episode // rb.skip,
+                        100 // rb.skip)[:100]
+        series[label] = rb.vel_formatted[0, sel, 0, 0]
+    out = os.path.join(outdir, "poincare_latency_reference_data.png")
+    figures.poincare_figure(series, out, xlabel="$v_{x,n}^B$",
+                            ylabel="$v_{x,n+1}^B$")
+    print(f"wrote {out}")
+
+
 def gait_panel(outdir: str) -> None:
     from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import figures
@@ -100,6 +156,8 @@ def main():
     os.makedirs(outdir, exist_ok=True)
     landscape_panels(outdir)
     velocity_panel(outdir)
+    latency_panel(outdir)
+    poincare_panel(outdir)
     gait_panel(outdir)
 
 

@@ -36,6 +36,34 @@ def test_fit_kappa_on_noisy_signal():
     assert -7.0 < fit["kappa"] < -3.0
 
 
+def test_ensemble_entropy_quantized_cells():
+    """The reference's estimator (Figure4.py:160-167): uniform over k cells
+    -> log k nats; a concentrated ensemble -> 0."""
+    one_cell = np.tile(np.array([[0.28, 0.0, 0.0, 0.0, 0.0, 0.0]]), (100, 1))
+    assert robustness.ensemble_entropy(one_cell) == 0.0
+    # 4 equally-populated roll cells, 0.02 rad apart (= the roll precision)
+    rolls = np.repeat(np.arange(4) * 0.02, 25)
+    x = np.zeros((100, 6))
+    x[:, 1] = rolls + 0.01  # cell centers
+    np.testing.assert_allclose(robustness.ensemble_entropy(x), np.log(4),
+                               rtol=1e-6)
+    # dispersion increases entropy monotonically
+    rng = np.random.default_rng(0)
+    tight = rng.normal(scale=0.01, size=(500, 6))
+    wide = rng.normal(scale=0.2, size=(500, 6))
+    assert (robustness.ensemble_entropy(wide)
+            > robustness.ensemble_entropy(tight))
+
+
+def test_fit_entropy_kappa_piecewise():
+    """Known flat-linear-flat decay: the fitted slope is kappa."""
+    t = np.arange(0, 1.0, 0.01)
+    y = robustness.piecewise_flat_linear_flat(t, 0.1, 6.0, 0.6, -8.0)
+    fit = robustness.fit_entropy_kappa(t, y + 1e-3 * np.sin(40 * t))
+    assert abs(fit["kappa"] + 8.0) < 0.3
+    assert fit["kappa_err"] < 0.3
+
+
 def test_simplex_grid_covers_simplex():
     w = landscape.simplex_grid(0.02)
     assert w.shape[1] == 3
