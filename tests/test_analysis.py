@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
@@ -62,6 +63,27 @@ def test_fit_entropy_kappa_piecewise():
     fit = robustness.fit_entropy_kappa(t, y + 1e-3 * np.sin(40 * t))
     assert abs(fit["kappa"] + 8.0) < 0.3
     assert fit["kappa_err"] < 0.3
+
+
+@pytest.mark.slow
+def test_entropy_kappa_end_to_end():
+    """Figure-4 reproduction on a small ensemble: entropy plateaus at log N
+    (distinct noise-spread states), then contracts as the closed loop
+    re-converges; the piecewise fit yields a negative recovery rate."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import io as mio
+
+    bp5 = "/root/reference/IRRL/script/model/bp5_155"
+    if not os.path.isdir(bp5):
+        pytest.skip("bp5_155 weights unavailable")
+    cfg = config.test_default().replace(terrain=False, crucial=False)
+    params = mio.load_bp5_csv(bp5)
+    fit = robustness.entropy_kappa(cfg, params, jnp.array([2.0, 0.0, 0.0]),
+                                   jax.random.PRNGKey(0),
+                                   n_episodes=64, n_steps=600, skip=5)
+    assert abs(fit["entropy"][0] - np.log(64)) < 0.3
+    assert fit["entropy"][-1] < fit["entropy"][0] - 0.5
+    assert fit["kappa"] < -1.0
+    assert fit["survival"] > 0.9
 
 
 def test_simplex_grid_covers_simplex():
