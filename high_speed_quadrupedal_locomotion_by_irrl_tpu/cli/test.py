@@ -59,6 +59,12 @@ def parse_args(argv):
                    help="disturbance-recovery rate fits (Figure4 robustness)")
     p.add_argument("--kick", type=float, default=1.0,
                    help="lateral velocity kick [m/s] for --kappa")
+    p.add_argument("--kappa-entropy", action="store_true",
+                   help="Figure4's own kappa estimator: ensemble-entropy "
+                        "decay fits over --ensemble noise-spread episodes "
+                        "per command (analysis.robustness.entropy_kappa)")
+    p.add_argument("--ensemble", type=int, default=2048,
+                   help="episodes per entropy ensemble (--kappa-entropy)")
     p.add_argument("--landscape", type=str, default=None, metavar="MODEL_B,MODEL_C",
                    help="reward-landscape sweep over the parameter simplex "
                         "spanned by --model and two more controllers; writes "
@@ -194,7 +200,6 @@ def main(argv=None):
         print(f"LSTM state |corr| mean: {results['lstm_corr_mean_abs']:.3f}")
     if args.pca or args.spectro or args.traces:
         from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import figures
-        import jax.numpy as jnp
 
         log = ev.policy_rollout(
             cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
@@ -231,6 +236,23 @@ def main(argv=None):
             print(f"cmd {r['command']:.1f} kick {r['kick']:.1f} m/s -> "
                   f"kappa {r['kappa']:+.2f} log_e/s (r2 {r['r2']:.2f}, "
                   f"{'survived' if r['survived'] else 'FELL'})")
+    if args.kappa_entropy:
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
+            robustness as rb,
+        )
+        rows = []
+        for c in (float(c) for c in args.commands.split(",")):
+            fit = rb.entropy_kappa(cfg, params, jnp.array([c, 0.0, 0.0]), key,
+                                   n_episodes=args.ensemble,
+                                   n_steps=args.steps)
+            rows.append({"command": c, "kappa": fit["kappa"],
+                         "kappa_err": fit["kappa_err"],
+                         "v_mean": fit["v_mean"],
+                         "survival": fit["survival"]})
+            print(f"cmd {c:.1f}: entropy-kappa {fit['kappa']:+.2f} "
+                  f"+- {fit['kappa_err']:.2f} log_e/s  v {fit['v_mean']:+.2f} "
+                  f"survival {fit['survival']:.3f}")
+        results["entropy_kappa"] = rows
     if args.landscape:
         from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
             figures, landscape as ls,
@@ -257,7 +279,6 @@ def main(argv=None):
             print(f"latency {r['latency_ms']:.1f} ms -> v {r['v_mean']:+.2f} "
                   f"(survival {r['survival']:.2f})")
     if args.viewer or args.vid or args.dump_info:
-        import jax.numpy as jnp
 
         log = ev.policy_rollout(
             cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,

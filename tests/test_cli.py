@@ -68,6 +68,29 @@ def test_cli_analysis_modes_and_energy_dump(tmp_path):
     np.testing.assert_allclose(minv, np.swapaxes(minv, 1, 2), atol=1e-3)
 
 
+@pytest.mark.slow
+def test_cli_kappa_entropy_mode(tmp_path):
+    """--kappa-entropy drives the Figure4 ensemble-entropy estimator through
+    the CLI (tiny ensemble; only plumbing + finiteness asserted here — the
+    estimator's physics is covered by test_analysis)."""
+    import jax
+
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.cli import test as cli_test
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import io as mio
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+
+    model_dir = str(tmp_path / "model")
+    mio.save_bp5_csv(lstm.init(jax.random.PRNGKey(0)), model_dir)
+    res = cli_test.main([
+        "--model", model_dir, "--steps", "120", "--commands", "1",
+        "--kappa-entropy", "--ensemble", "16",
+    ])
+    rows = res["entropy_kappa"]
+    assert len(rows) == 1 and rows[0]["command"] == 1.0
+    assert np.isfinite(rows[0]["kappa"])
+    assert 0.0 <= rows[0]["survival"] <= 1.0
+
+
 def test_cli_train_smoke_writes_metrics_and_dashboard(tmp_path):
     """Tiny end-to-end train: metrics.jsonl rows + dashboard.png render."""
     import os
