@@ -97,8 +97,6 @@ def interactive(cfg, params, n_steps: int, serve_port=None, realtime=False,
     streaming state snapshots to remote viewers via the native StateServer."""
     import time
 
-    import jax.numpy as jnp
-
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import gamepad as gp
