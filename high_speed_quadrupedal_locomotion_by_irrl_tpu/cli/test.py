@@ -51,6 +51,10 @@ def parse_args(argv):
                         "run_bp_v5.py:664-736)")
     p.add_argument("--delay", type=str, default=None,
                    help="comma-separated latency sweep in control steps")
+    p.add_argument("--poincare", type=str, default=None, metavar="OUT.png",
+                   help="first-return maps of v_x^B sampled once per gait "
+                        "period, one panel per --delay value (Figure4 "
+                        "plot_poincare; requires --delay)")
     p.add_argument("--save-data", type=str, default=None, help="npy dump dir")
     p.add_argument("--save-energy-data", type=str, default=None, metavar="DIR",
                    help="per-step energy/dynamics npy dump incl. M^-1 and "
@@ -276,6 +280,27 @@ def main(argv=None):
         for r in results["latency"]:
             print(f"latency {r['latency_ms']:.1f} ms -> v {r['v_mean']:+.2f} "
                   f"(survival {r['survival']:.2f})")
+        if args.poincare:
+            from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
+                figures,
+            )
+            sign = -1.0 if cfg.wildcat else 1.0
+            period_steps = max(int(round(cfg.period / cfg.control_dt)), 1)
+            series = {}
+            for d in delays:
+                log = ev.policy_rollout(
+                    cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                                stochastic_dynamics=False),
+                    params, jnp.array([args.vx, 0.0, 0.0]), key, args.steps,
+                    delay_steps=int(d))
+                vx = sign * ev.body_velocity(log)[:, 0]
+                sel = np.arange(period_steps // 2, len(vx), period_steps)
+                series[f"{d * cfg.control_dt * 1e3:.0f} ms"] = vx[sel]
+            figures.poincare_figure(series, args.poincare,
+                                    xlabel="$v_{x,n}^B$",
+                                    ylabel="$v_{x,n+1}^B$")
+            results["poincare"] = args.poincare
+            print(f"poincare maps -> {args.poincare}")
     if args.viewer or args.vid or args.dump_info:
 
         log = ev.policy_rollout(
