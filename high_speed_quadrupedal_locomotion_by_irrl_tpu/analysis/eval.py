@@ -166,6 +166,7 @@ def state_space(cfg: EnvConfig, params, vx, key, n_steps=750, skip=100):
 def latency_sweep(cfg: EnvConfig, params, vx, delays_steps, key, n_steps=750, skip=200):
     """Achieved speed vs injected latency (Figure4.py:330-392 experiment)."""
     rows = []
+    skip = min(skip, n_steps // 2)   # short smoke runs: keep the window non-empty
     for d in delays_steps:
         log = policy_rollout(_fixed_command_cfg(cfg), params,
                              jnp.array([vx, 0.0, 0.0]), key, n_steps, delay_steps=int(d))
