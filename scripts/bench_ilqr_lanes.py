@@ -1,6 +1,11 @@
 """Whole-body iLQR throughput: per-problem vmap path vs lanes-batched path.
 
-Usage: python scripts/bench_ilqr_lanes.py [batch] [horizon]
+Usage: python scripts/bench_ilqr_lanes.py [batch] [horizon] [fd|frozen] [chunk]
+
+chunk = horizon knots linearized per scan block (LIN_CHUNK env overrides;
+0 = the whole horizon in ONE wide call — feasible for the frozen
+linearizer's few-hundred-op graph, compile-infeasible for FD through the
+full lanes physics).
 """
 
 import os
@@ -43,7 +48,8 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     horizon = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     linearizer = sys.argv[3] if len(sys.argv) > 3 else "fd"
-    chunk = int(os.environ.get("LIN_CHUNK", "1"))
+    chunk = int(os.environ.get("LIN_CHUNK",
+                               sys.argv[4] if len(sys.argv) > 4 else "1"))
     cfg = config.test_default().replace(obs_noise=0.0)
     params = mdl.nominal_params(cfg)
     mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=8, model_substeps=2,
