@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.config import EnvConfig
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.ops import linalg
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import dynamics as dyn
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import gait
@@ -307,9 +308,12 @@ def solve(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem) -> SRBResult:
         Quu = Rm + B_t.T @ VB
         Qux = B_t.T @ V @ A_t
         qu = B_t.T @ v - Rm @ uf
-        L = jnp.linalg.cholesky(Quu + 1e-9 * jnp.eye(NU))
-        K = jax.scipy.linalg.cho_solve((L, True), Qux)
-        k = jax.scipy.linalg.cho_solve((L, True), qu)
+        # one unrolled-Cholesky factorization for [qu | Qux]: under the
+        # problem vmap every scalar is a (B,)-wide VPU op, vs XLA's generic
+        # cholesky/cho_solve loops on (B,12,12) (ops/linalg.py notes)
+        sol = linalg.solve_spd(Quu + 1e-9 * jnp.eye(NU),
+                               jnp.concatenate([qu[:, None], Qux], axis=1))
+        k, K = sol[:, 0], sol[:, 1:]
         Vn = Q + A_t.T @ V @ A_t - Qux.T @ K
         vn = -Q @ xr + A_t.T @ v - Qux.T @ k
         Vn = 0.5 * (Vn + Vn.T)

@@ -38,7 +38,12 @@ def cholesky_unrolled(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_spd(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """x = M^-1 b for SPD M via unrolled Cholesky + triangular solves."""
+    """x = M^-1 b for SPD M via unrolled Cholesky + triangular solves.
+
+    b may be (n,) or (n, k): the substitutions index only b's first axis, so
+    a matrix RHS rides through with each row as a k-wide vector — one
+    factorization amortized over all columns (used by the iLQR Riccati knots
+    for [Qu | Qux] and by inv_spd)."""
     n = M.shape[-1]
     L = cholesky_unrolled(M)
     # forward substitution L y = b
@@ -56,3 +61,14 @@ def solve_spd(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             s = s - L[k, i] * x[k]
         x[i] = s / L[i, i]
     return jnp.stack(x)
+
+
+def inv_spd(M: jnp.ndarray) -> jnp.ndarray:
+    """M^-1 for SPD M (one unrolled factorization, n-wide RHS rows).
+
+    Replaces ``jnp.linalg.inv`` on small SPD matrices (mass matrices,
+    Riccati Quu blocks): XLA's generic LU on a (batch, n, n) of tiny
+    matrices lowers to sequential dynamic-slice loops, while this unrolls
+    to pure (batch,)-wide VPU ops under vmap."""
+    n = M.shape[-1]
+    return solve_spd(M, jnp.eye(n, dtype=M.dtype))

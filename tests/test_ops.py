@@ -24,6 +24,20 @@ def test_solve_spd_matches_numpy(rng):
     np.testing.assert_allclose(x, np.linalg.solve(M, b), rtol=1e-3, atol=1e-4)
 
 
+def test_solve_spd_matrix_rhs_and_inv(rng):
+    """Matrix RHS rides the scalar-unrolled substitutions row-wise (the iLQR
+    Riccati [Qu | Qux] path) and inv_spd inverts via one factorization."""
+    n, k = 12, 5
+    A = rng.normal(size=(n, n))
+    M = A @ A.T + n * np.eye(n)
+    Bm = rng.normal(size=(n, k))
+    X = np.asarray(linalg.solve_spd(jnp.asarray(M, jnp.float32),
+                                    jnp.asarray(Bm, jnp.float32)))
+    np.testing.assert_allclose(X, np.linalg.solve(M, Bm), rtol=1e-3, atol=1e-4)
+    Minv = np.asarray(linalg.inv_spd(jnp.asarray(M, jnp.float32)))
+    np.testing.assert_allclose(Minv @ M, np.eye(n), atol=2e-4)
+
+
 def test_solve_spd_vmaps(rng):
     n, B = 18, 32
     A = rng.normal(size=(B, n, n))
