@@ -25,6 +25,22 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.ops import linalg
+
+
+def _gains(Quu: jnp.ndarray, Qu: jnp.ndarray, Qux: jnp.ndarray):
+    """(k, K) = -Quu^-1 [Qu | Qux] via ONE unrolled-Cholesky factorization.
+
+    jnp.linalg.cholesky/cho_solve on (batch, m, m) tiny matrices lower to
+    sequential dynamic-slice loops on TPU; the unrolled solve is pure
+    (batch,)-wide VPU ops (ops/linalg.py notes) — and sharing the
+    factorization between the feedforward and feedback gains halves it."""
+    m = Qu.shape[-1]
+    rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)   # (m, 1+n)
+    sol = linalg.solve_spd(Quu + 1e-9 * jnp.eye(m), rhs)
+    return -sol[:, 0], -sol[:, 1:]
+
+
 class ILQRResult(NamedTuple):
     us: jnp.ndarray       # (T, m) optimized controls
     xs: jnp.ndarray       # (T+1, n) optimized trajectory
@@ -131,9 +147,7 @@ def solve(dynamics: Callable, cost_fn: Callable, term_cost_fn: Callable,
             Qxx = cxx_t + A_t.T @ Vxx @ A_t
             Quu = cuu_t + B_t.T @ Vxx @ B_t + lam * jnp.eye(m)
             Qux = cux_t + B_t.T @ Vxx @ A_t
-            L = jnp.linalg.cholesky(Quu + 1e-9 * jnp.eye(m))
-            k = -jax.scipy.linalg.cho_solve((L, True), Qu)
-            K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+            k, K = _gains(Quu, Qu, Qux)
             Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
             Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
@@ -245,10 +259,12 @@ def solve_batch(dynamics_b: Callable, cost_fn: Callable, term_cost_fn: Callable,
         return jnp.concatenate([x0s[:, None], jnp.swapaxes(xs, 0, 1)], axis=1)
 
     def _total_cost_b(xs, us):            # -> (B,)
-        def f(acc, t):
-            return acc + cost_b(xs[:, t], us[:, t], stage_t(t)), None
-        acc, _ = jax.lax.scan(f, jnp.zeros(B), jnp.arange(T))
-        return acc + term_b(xs[:, -1], term_args)
+        # one (B*T)-wide call instead of T sequential steps: the stage cost
+        # is tiny dense math, so the whole horizon rides the lanes at once
+        flat = lambda a: a.reshape((B * T,) + a.shape[2:])  # noqa: E731
+        c = cost_b(flat(xs[:, :-1]), flat(us),
+                   jax.tree.map(flat, stage_args))
+        return c.reshape(B, T).sum(axis=1) + term_b(xs[:, -1], term_args)
 
     def _linearize(xs, us):
         """-> A (B,T,n,n), Bm (B,T,n,m) (see fd_eps in the docstring)."""
@@ -316,9 +332,7 @@ def solve_batch(dynamics_b: Callable, cost_fn: Callable, term_cost_fn: Callable,
                 Qxx = cxx_t + A_t.T @ Vxx @ A_t
                 Quu = cuu_t + B_t.T @ Vxx @ B_t + lam_b * jnp.eye(m)
                 Qux = cux_t + B_t.T @ Vxx @ A_t
-                L = jnp.linalg.cholesky(Quu + 1e-9 * jnp.eye(m))
-                k = -jax.scipy.linalg.cho_solve((L, True), Qu)
-                K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+                k, K = _gains(Quu, Qu, Qux)
                 Vx_new = Qx + K.T @ Quu @ k + K.T @ Qu + Qux.T @ k
                 Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
                 return Vx_new, 0.5 * (Vxx_new + Vxx_new.T), k, K

@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.config import EnvConfig
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.ops import linalg
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs.blackpanther import torque_clamp
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import dynamics as dyn
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
@@ -82,7 +83,9 @@ def make_frozen_linearizer(cfg: EnvConfig, mpc_cfg, params: mdl.RobotParams):
     def compute_frozen(x):
         gc, gv = x[:19], x[19:]
         kin = dyn.fk(params, gc)
-        Minv = jnp.linalg.inv(dyn.mass_matrix(params, kin))
+        # mass matrix is SPD: unrolled-Cholesky inverse stays VPU-wide under
+        # the knot vmap (ops/linalg.py notes) vs jnp.linalg.inv's LU loops
+        Minv = linalg.inv_spd(dyn.mass_matrix(params, kin))
         h0 = dyn.bias_forces(params, kin, gv, jnp.zeros((nb, 6)))
         return FrozenOps(Minv=Minv, h0=h0)
 

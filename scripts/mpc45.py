@@ -43,7 +43,8 @@ def run(env_cfg, scfg, kwargs, cmd, n_steps):
     vb = ev.body_velocity(log)
     v = float(vb[int(n_steps * 0.6):, 0].mean())
     falls = int(np.asarray(log.done).sum())
-    print(f"  cmd {cmd:.0f} T={env_cfg.period:.2f} h={env_cfg.stand_height:.2f} "
+    print(f"  cmd {cmd:.0f} T={env_cfg.period:.2f} lam={env_cfg.lam:.2f} "
+          f"h={env_cfg.stand_height:.2f} "
           f"gain={scfg.sweep_gain:.2f} -> v={v:+.2f} falls={falls} "
           f"({time.time()-t0:.0f}s)", flush=True)
     return v, falls
@@ -65,11 +66,27 @@ def main():
     period = best[0]
     print(f"stage A best period: {period}", flush=True)
 
+    print("=== stage A2: duty factor (lam) at cmd 4 ===", flush=True)
+    # lam < 0.5 inserts flight phases into the trot schedule: stance length
+    # v*lam*period shrinks below the leg's reach AND the swing leg gets a
+    # bigger fraction of the cycle to recirculate — what running quadrupeds
+    # actually do past ~3.5 m/s. stance_mask/toe_targets both key off
+    # cfg.lam, so the force schedule and the swing profile stay consistent.
+    bestL = (0.5, -1e9)
+    for lam in (0.5, 0.42, 0.35):
+        ec = base_cfg.replace(period=period, lam=lam)
+        v, falls = run(ec, base_scfg, kwargs, 4.0, n_sweep)
+        score = v - 100.0 * (falls > 0)
+        if score > bestL[1]:
+            bestL = (lam, score)
+    lam = bestL[0]
+    print(f"stage A2 best lam: {lam}", flush=True)
+
     print("=== stage B: sweep_gain x stand_height at cmd 4/5 ===", flush=True)
     bestB = (None, -1e9)
     for gain in (1.15, 1.3, 1.45):
         for h in (0.26, 0.28):
-            ec = base_cfg.replace(period=period, stand_height=h)
+            ec = base_cfg.replace(period=period, lam=lam, stand_height=h)
             sc = dataclasses.replace(base_scfg, sweep_gain=gain)
             v4, f4 = run(ec, sc, kwargs, 4.0, n_sweep)
             v5, f5 = run(ec, sc, kwargs, 5.0, n_sweep)
@@ -80,7 +97,7 @@ def main():
     print(f"stage B best: gain={gain} stand_height={h}", flush=True)
 
     print("=== final: cmd 1-5 table ===", flush=True)
-    ec = base_cfg.replace(period=period, stand_height=h)
+    ec = base_cfg.replace(period=period, lam=lam, stand_height=h)
     sc = dataclasses.replace(base_scfg, sweep_gain=gain)
     for cmd in (1.0, 2.0, 3.0, 4.0, 5.0):
         run(ec, sc, kwargs, cmd, n_final)
