@@ -61,7 +61,14 @@ def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
 
     cfg = config.test_default().replace(obs_noise=0.0)
-    chunk = int(os.environ.get("BENCH_ILQR_CHUNK", "1")) if lanes else 1
+    marker = os.path.join(os.path.dirname(__file__) or ".", ".ilqr_lanes_ok")
+    if lanes and os.path.exists(marker):
+        # the marker records which linearize_chunk was proven+cached by
+        # scripts/bench_ilqr_lanes.py (0 = whole horizon in one wide call)
+        default_chunk = (open(marker).read().strip() or "1")
+    else:
+        default_chunk = "1"
+    chunk = int(os.environ.get("BENCH_ILQR_CHUNK", default_chunk)) if lanes else 1
     # the lanes extra runs the frozen-operator linearizer (mpc/linearize.py):
     # ~one physics eval per knot instead of 98 FD evals, and a compile-light
     # jacfwd graph where the FD lanes sweep was compile-bound

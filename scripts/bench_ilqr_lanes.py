@@ -66,12 +66,12 @@ def main():
     lanes_fn = jax.jit(lambda pr: trot.solve_batch_lanes(cfg, mpc_cfg, params, pr))
     s_lanes, c_lanes = bench(lanes_fn, probs,
                              f"lanes[{linearizer}] B={B} chunk={chunk}")
-    if (B, horizon, chunk, mpc_cfg.n_iter, mpc_cfg.n_alphas,
-            linearizer) == (64, 50, 1, 8, 8, "frozen"):
-        # exact config bench.py's lanes extra uses: mark the compile cache
-        # warm so bench.py dares attempt it (see bench.py notes)
+    if (B, horizon, mpc_cfg.n_iter, mpc_cfg.n_alphas,
+            linearizer) == (64, 50, 8, 8, "frozen"):
+        # a config bench.py's lanes extra can use: record WHICH chunk proved
+        # compilable so bench.py replays exactly this cached graph
         open(os.path.join(os.path.dirname(__file__), "..", ".ilqr_lanes_ok"),
-             "w").close()
+             "w").write(f"{chunk}\n")
 
     if os.environ.get("SKIP_VMAP") != "1":
         pb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), params)
