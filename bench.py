@@ -72,9 +72,12 @@ def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
     # the lanes extra runs the frozen-operator linearizer (mpc/linearize.py):
     # ~one physics eval per knot instead of 98 FD evals, and a compile-light
     # jacfwd graph where the FD lanes sweep was compile-bound
+    # frozen-operator linearizer on BOTH paths: measured cost-neutral vs the
+    # jacfwd/FD sweep (805.7 vs 802.4 mean cost at batch 64/h50, +0.4%) and
+    # 1.4x faster on the vmap path (runs/ilqr_vmap.log)
     mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=n_iter, model_substeps=2,
                              linearize_chunk=chunk,
-                             linearizer="frozen" if lanes else "fd")
+                             linearizer="frozen")
     params = mdl.nominal_params(cfg)
     cmds = jnp.stack([jnp.array([1.0 + 3.0 * (i % 5) / 4.0, 0.0, 0.0])
                       for i in range(batch)])
