@@ -213,7 +213,10 @@ def main():
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import profiling
     profiling.enable_compile_cache()   # persistent .jax_cache across runs
     small = os.environ.get("BENCH_SMALL") == "1"
-    srb_batch = 64 if small else 1024
+    # 8192 is the measured per-chip throughput peak of the scaling curve
+    # (scripts/bench_srb_sweep.py: 71.1k solves/s at 1024, 88.3k at 8192
+    # after the unrolled-Riccati backward)
+    srb_batch = 64 if small else 8192
     horizon = 10 if small else 50
     env_batch = 64 if small else 4096
     env_steps = 8 if small else 100

@@ -300,22 +300,31 @@ def solve(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem) -> SRBResult:
     f_ff = (sm * (m * _G / n_st)[:, None])[:, :, None] * jnp.array([0.0, 0.0, 1.0])
     u_ff = f_ff.reshape(T, NU)                            # (T,12)
 
+    q_diag = jnp.diag(Q)
+
     def backward(carry, inp):
+        # stage cost 1/2 (x-xr)'Q(x-xr) + 1/2 (u-uf)'R(u-uf).
+        # Everything here is unrolled to scalar ops (ops/linalg.py): under
+        # the problem vmap each scalar is one (B,)-wide VPU op, while XLA's
+        # batched 13x13 GEMMs pad MXU tiles at ~1% utilization — the
+        # backward scan was the dominant phase of the whole solve
+        # (scripts/profile_srb.py: 32 of 33 ms at batch 1024).
         V, v = carry
         A_t, B_t, xr, uf = inp
-        # stage cost 1/2 (x-xr)'Q(x-xr) + 1/2 (u-uf)'R(u-uf)
-        VB = V @ B_t
-        Quu = Rm + B_t.T @ VB
-        Qux = B_t.T @ V @ A_t
-        qu = B_t.T @ v - Rm @ uf
-        # one unrolled-Cholesky factorization for [qu | Qux]: under the
-        # problem vmap every scalar is a (B,)-wide VPU op, vs XLA's generic
-        # cholesky/cho_solve loops on (B,12,12) (ops/linalg.py notes)
+        VA = linalg.matmul_unrolled(V, A_t)                        # (13,13)
+        VB = linalg.matmul_unrolled(V, B_t)                        # (13,12)
+        Quu = Rm + linalg.matmul_unrolled(B_t, VB, transpose_a=True)
+        Qux = linalg.matmul_unrolled(B_t, VA, transpose_a=True)    # (12,13)
+        # Rm = r_force * I, Q diagonal: apply as elementwise scales
+        qu = linalg.matvec_unrolled(B_t, v, transpose_a=True) - scfg.r_force * uf
+        # one unrolled-Cholesky factorization for [qu | Qux]
         sol = linalg.solve_spd(Quu + 1e-9 * jnp.eye(NU),
                                jnp.concatenate([qu[:, None], Qux], axis=1))
         k, K = sol[:, 0], sol[:, 1:]
-        Vn = Q + A_t.T @ V @ A_t - Qux.T @ K
-        vn = -Q @ xr + A_t.T @ v - Qux.T @ k
+        Vn = (Q + linalg.matmul_unrolled(A_t, VA, transpose_a=True)
+              - linalg.matmul_unrolled(Qux, K, transpose_a=True))
+        vn = (-q_diag * xr + linalg.matvec_unrolled(A_t, v, transpose_a=True)
+              - linalg.matvec_unrolled(Qux, k, transpose_a=True))
         Vn = 0.5 * (Vn + Vn.T)
         return (Vn, vn), (K, k)
 
@@ -326,9 +335,10 @@ def solve(cfg: EnvConfig, scfg: SRBConfig, prob: SRBProblem) -> SRBResult:
 
     def forward(x, inp):
         A_t, B_t, K_t, k_t, sm_t = inp
-        u = -K_t @ x - k_t
+        u = -linalg.matvec_unrolled(K_t, x) - k_t
         f = _project_cone(u.reshape(4, 3), sm_t, scfg.mu, scfg.fz_max)
-        x2 = A_t @ x + B_t @ f.reshape(NU)
+        x2 = (linalg.matvec_unrolled(A_t, x)
+              + linalg.matvec_unrolled(B_t, f.reshape(NU)))
         return x2, (f, x2)
 
     _, (forces, xs_tail) = jax.lax.scan(forward, prob.x0, (A, B, Ks, ks, sm))

@@ -63,6 +63,52 @@ def solve_spd(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x)
 
 
+def matmul_unrolled(A: jnp.ndarray, B: jnp.ndarray,
+                    transpose_a: bool = False) -> jnp.ndarray:
+    """C = A @ B (or A.T @ B) fully unrolled at trace time.
+
+    For tiny static shapes under a large problem vmap: XLA lowers batched
+    (batch, n, n) small GEMMs onto padded MXU tiles at ~1% utilization,
+    while this unrolls to n*m*k scalar multiply-adds that each become one
+    (batch,)-wide VPU op — the same trade cholesky_unrolled exploits.
+    Measured on the SRB Riccati backward scan (13x13 at batch 1024): the
+    dominant phase of the whole solve before this, see scripts/profile_srb.
+    """
+    if transpose_a:
+        A = A.T  # indexing below is scalar either way; .T is free at trace
+    n, m = A.shape
+    m2, k = B.shape
+    assert m == m2, (A.shape, B.shape)
+    a = [[A[i, j] for j in range(m)] for i in range(n)]
+    b = [[B[i, j] for j in range(k)] for i in range(m)]
+    rows = []
+    for i in range(n):
+        row = []
+        for j in range(k):
+            s = a[i][0] * b[0][j]
+            for l in range(1, m):
+                s = s + a[i][l] * b[l][j]
+            row.append(s)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def matvec_unrolled(A: jnp.ndarray, x: jnp.ndarray,
+                    transpose_a: bool = False) -> jnp.ndarray:
+    """y = A @ x (or A.T @ x) unrolled to scalar ops (see matmul_unrolled)."""
+    if transpose_a:
+        A = A.T
+    n, m = A.shape
+    xs = [x[j] for j in range(m)]
+    out = []
+    for i in range(n):
+        s = A[i, 0] * xs[0]
+        for j in range(1, m):
+            s = s + A[i, j] * xs[j]
+        out.append(s)
+    return jnp.stack(out)
+
+
 def inv_spd(M: jnp.ndarray) -> jnp.ndarray:
     """M^-1 for SPD M (one unrolled factorization, n-wide RHS rows).
 

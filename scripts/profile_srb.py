@@ -87,19 +87,26 @@ def main():
             jnp.array([0.0, 0.0, 1.0])
         u_ff = f_ff.reshape(B, T, srb.NU)
 
+        q_diag = jnp.diag(Q)
+
         def one(A, Bm, x_ref, u_ff):
-            def bk(carry, inp):
+            def bk(carry, inp):   # mirrors mpc/srb.py solve()'s backward
                 V, v = carry
                 A_t, B_t, xr, uf = inp
-                VB = V @ B_t
-                Quu = Rm + B_t.T @ VB
-                Qux = B_t.T @ V @ A_t
-                qu = B_t.T @ v - Rm @ uf
+                VA = linalg.matmul_unrolled(V, A_t)
+                VB = linalg.matmul_unrolled(V, B_t)
+                Quu = Rm + linalg.matmul_unrolled(B_t, VB, transpose_a=True)
+                Qux = linalg.matmul_unrolled(B_t, VA, transpose_a=True)
+                qu = (linalg.matvec_unrolled(B_t, v, transpose_a=True)
+                      - scfg.r_force * uf)
                 sol = linalg.solve_spd(Quu + 1e-9 * jnp.eye(srb.NU),
                                        jnp.concatenate([qu[:, None], Qux], 1))
                 k, K = sol[:, 0], sol[:, 1:]
-                Vn = Q + A_t.T @ V @ A_t - Qux.T @ K
-                vn = -Q @ xr + A_t.T @ v - Qux.T @ k
+                Vn = (Q + linalg.matmul_unrolled(A_t, VA, transpose_a=True)
+                      - linalg.matmul_unrolled(Qux, K, transpose_a=True))
+                vn = (-q_diag * xr
+                      + linalg.matvec_unrolled(A_t, v, transpose_a=True)
+                      - linalg.matvec_unrolled(Qux, k, transpose_a=True))
                 return (0.5 * (Vn + Vn.T), vn), (K, k)
             (V_T, v_T) = (Q, -Q @ x_ref[-1])
             _, (Ks, ks) = jax.lax.scan(bk, (V_T, v_T),

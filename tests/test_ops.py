@@ -38,6 +38,26 @@ def test_solve_spd_matrix_rhs_and_inv(rng):
     np.testing.assert_allclose(Minv @ M, np.eye(n), atol=2e-4)
 
 
+def test_matmul_matvec_unrolled(rng):
+    A = rng.normal(size=(13, 12)).astype(np.float32)
+    B = rng.normal(size=(12, 13)).astype(np.float32)
+    x = rng.normal(size=13).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(linalg.matmul_unrolled(jnp.asarray(A), jnp.asarray(B))),
+        A @ B, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(linalg.matmul_unrolled(jnp.asarray(A), jnp.asarray(A),
+                                          transpose_a=True)),
+        A.T @ A, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(linalg.matvec_unrolled(jnp.asarray(A), jnp.asarray(x),
+                                          transpose_a=True)),
+        A.T @ x, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(linalg.matvec_unrolled(jnp.asarray(B), jnp.asarray(x))),
+        B @ x, rtol=1e-5, atol=1e-5)
+
+
 def test_solve_spd_vmaps(rng):
     n, B = 18, 32
     A = rng.normal(size=(B, n, n))
