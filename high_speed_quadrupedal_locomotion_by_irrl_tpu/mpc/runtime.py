@@ -56,6 +56,47 @@ def high_speed_setup(cfg: EnvConfig):
     return env_cfg, scfg, kwargs
 
 
+def speed_schedule(cfg: EnvConfig, vx: float):
+    """Speed-scheduled SRB-MPC configuration (the production pattern: stride
+    frequency and duty factor follow the commanded speed — every fast
+    quadruped stack does this because one gait clock cannot cover 1-5 m/s).
+
+    Encodes the round-2 measured schedule (scripts/mpc45.py + mpc45b.py,
+    runs/mpc45*.log): defaults to high_speed_setup below 3.5 m/s (2.93 m/s
+    zero-fall at cmd 3); T=0.12 s / lam=0.42 at cmd 4 (2.94); T=0.12 /
+    lam=0.35 — a flight-phase trot — at cmd 5 (3.19). Zero falls at every
+    command.
+
+    Returns (env_cfg, SRBConfig, mpc_rollout kwargs)."""
+    env_cfg, scfg, kwargs = high_speed_setup(cfg)
+    if vx >= 4.5:
+        env_cfg = env_cfg.replace(period=0.12, lam=0.35, stand_height=0.30)
+    elif vx >= 3.5:
+        env_cfg = env_cfg.replace(period=0.12, lam=0.42, stand_height=0.30)
+    return env_cfg, scfg, kwargs
+
+
+def wb_speed_schedule(cfg: EnvConfig, vx: float):
+    """Speed-scheduled whole-body receding-horizon iLQR configuration.
+
+    Encodes the round-2 measured schedule (scripts/wb_mpc_eval.py +
+    wb_mpc_followup.py): T=0.20 default; T=0.14 in the cmd-3 transition
+    regime (the T=0.20 dip there mirrors the zone the reference's own
+    training struggled with) and at cmd 5. Measured closed loop:
+    0.92 / 1.87 / 2.88 / 3.92 / 4.68 m/s at cmd 1-5, zero falls.
+
+    Returns (env_cfg, MPCConfig) for :func:`wb_mpc_rollout`."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import trot
+
+    env_cfg = cfg.replace(crucial=False, terrain=False)
+    period = 0.14 if (2.5 <= vx < 3.5 or vx >= 4.5) else 0.20
+    env_cfg = env_cfg.replace(period=period)
+    mpc_cfg = trot.MPCConfig(horizon=16, n_iter=2, model_substeps=2,
+                             linearize_chunk=4, n_alphas=4, relin_every=1,
+                             linearizer="frozen")
+    return env_cfg, mpc_cfg
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "scfg", "n_steps",
                                     "torque_control", "stance_pd", "swing_pd"))

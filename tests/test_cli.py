@@ -106,3 +106,17 @@ def test_cli_train_smoke_writes_metrics_and_dashboard(tmp_path):
     assert {"loss", "reward_per_step", "fps", "timesteps"} <= set(rows[0])
     assert os.path.getsize(os.path.join(rd, "dashboard.png")) > 10_000
     assert os.path.exists(os.path.join(rd, "csv_final", "pi_w.csv"))
+
+
+def test_cli_mpc_smoke(tmp_path):
+    """irrl-mpc end to end: SRB engine, short rollout, viewer + CSV exports."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import rawdata
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.cli import mpc as cli_mpc
+
+    html = tmp_path / "mpc.html"
+    csv = tmp_path / "mpc_info.csv"
+    cli_mpc.main(["--engine", "srb", "--vx", "0.5", "--steps", "60",
+                  "--viewer", str(html), "--dump-info", str(csv)])
+    assert html.exists() and html.stat().st_size > 10_000
+    info = rawdata.RobotInfo(str(csv))
+    assert info.q.shape == (60, 12)

@@ -230,3 +230,31 @@ def test_receding_horizon_mpc_high_speed():
     R = np.asarray(quat_to_matrix(gc[:, 3:7]))
     vb = np.einsum("tji,tj->ti", R, gv[:, :3])
     assert vb[-400:, 0].mean() > 2.5
+
+
+def test_speed_schedules_cover_commands():
+    """Speed-scheduled MPC configs (mpc/runtime.speed_schedule /
+    wb_speed_schedule) encode the measured round-2 tables: stride frequency
+    and duty factor follow the command, horizon/engine knobs stay fixed."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime
+
+    cfg = config.test_default()
+    seen = set()
+    for vx in (1.0, 2.0, 3.0, 4.0, 5.0):
+        ec, scfg, kwargs = runtime.speed_schedule(cfg, vx)
+        assert scfg.horizon == 16 and kwargs["torque_control"]
+        assert 0.30 <= ec.lam <= 0.5 and 0.10 <= ec.period <= 0.25
+        seen.add((ec.period, ec.lam))
+        ec2, mc = runtime.wb_speed_schedule(cfg, vx)
+        assert mc.linearizer == "frozen" and mc.n_iter == 2
+        assert ec2.period in (0.14, 0.20)
+    # the schedule actually varies with speed (one fixed gait clock cannot
+    # cover cmd 1-5 — measured in scripts/mpc45.py)
+    assert len(seen) >= 3
+    # duty factor drops into the flight-phase regime at top speed
+    assert runtime.speed_schedule(cfg, 5.0)[0].lam < 0.5
+    # the wb schedule leaves the default clock at cmd 1-2 and shortens it
+    # in the cmd-3 transition regime and at cmd 5
+    assert runtime.wb_speed_schedule(cfg, 1.0)[0].period == 0.20
+    assert runtime.wb_speed_schedule(cfg, 3.0)[0].period == 0.14
+    assert runtime.wb_speed_schedule(cfg, 5.0)[0].period == 0.14
