@@ -223,3 +223,76 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
 
     (_, _), logs = jax.lax.scan(scan_fn, (state, u0), None, length=n_steps)
     return logs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps"))
+def wb_mpc_rollout_batch(cfg: EnvConfig, mpc_cfg, commands: jnp.ndarray,
+                         keys: jax.Array, n_steps: int = 500) -> WBMPCRolloutLog:
+    """A *fleet* of whole-body receding-horizon controllers in one program.
+
+    vmaps the per-step (warm-started iLQR solve + env step) of
+    :func:`wb_mpc_rollout` over a batch of commands/keys — the production
+    serving shape: one chip running B robots' MPC loops in lock-step. This
+    is also the honest throughput configuration for the whole-body engine:
+    cold-start batch solves (trot.batched_solve) pay 8 iterations from a
+    joint-reference guess, while the receding-horizon loop pays
+    ``mpc_cfg.n_iter`` (1-2) warm-started iterations per control step —
+    measured sustained rates in scripts/bench_wb_rh.py.
+
+    commands: (B, 3); keys: (B,) PRNG keys. Returns WBMPCRolloutLog with a
+    leading batch axis: every field (B, n_steps, ...).
+    """
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import (
+        cost as mcost,
+        ilqr,
+        trot,
+    )
+
+    cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                      stochastic_dynamics=False)
+    params = mdl.nominal_params(cfg)
+    dynamics = trot.make_dynamics(cfg, mpc_cfg, params)
+    linearize_fn = trot.make_linearize_fn(cfg, mpc_cfg, params)
+    w = mpc_cfg.weights
+    T = mpc_cfg.horizon
+    B = commands.shape[0]
+
+    states = jax.vmap(lambda k: bp.env_init(cfg, k))(keys)
+    states = states._replace(command=commands, command_filtered=commands)
+    u0 = jnp.zeros((B, T, 12))
+
+    def one_step(state, us_prev, command):
+        prob = trot.make_problem(cfg, state.gc, state.gv, command,
+                                 state.current_time, T)
+
+        def cost_fn(x, u, t):
+            return mcost.stage_cost(cfg, w, x, u, prob.joint_refs[t],
+                                    prob.joint_dot_refs[t], command)
+
+        def term_fn(x):
+            return mcost.terminal_cost(cfg, w, x, prob.joint_refs[-1], command)
+
+        u_init = jnp.concatenate([us_prev[1:], us_prev[-1:]], axis=0)
+        res = ilqr.solve(dynamics, cost_fn, term_fn, prob.x0, u_init,
+                         n_iter=mpc_cfg.n_iter,
+                         linearize_chunk=mpc_cfg.linearize_chunk,
+                         n_alphas=mpc_cfg.n_alphas,
+                         relin_every=mpc_cfg.relin_every,
+                         linearize_fn=linearize_fn)
+        action = jnp.clip(res.us[0], -1.0, 1.0)
+        st = state._replace(command=command, command_filtered=command)
+        out = bp.step(cfg, st, action)
+        log = WBMPCRolloutLog(gc=out.state.gc, gv=out.state.gv, action=action,
+                              reward=out.reward, done=out.done,
+                              solve_cost=res.cost)
+        return out.state, res.us, log
+
+    step_b = jax.vmap(one_step)
+
+    def scan_fn(carry, _):
+        states, us_prev = carry
+        states, us, log = step_b(states, us_prev, commands)
+        return (states, us), log
+
+    (_, _), logs = jax.lax.scan(scan_fn, (states, u0), None, length=n_steps)
+    return jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), logs)
