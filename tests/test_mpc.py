@@ -192,6 +192,25 @@ def test_wb_mpc_receding_horizon_stands(linearizer):
     assert np.isfinite(np.asarray(log.solve_cost)).all()
 
 
+@pytest.mark.slow
+def test_wb_mpc_fleet_batch_matches_single():
+    """runtime.wb_mpc_rollout_batch (the B-robot serving shape) produces the
+    same trajectory as B independent wb_mpc_rollout calls."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime
+
+    cfg = config.test_default().replace(terrain=False, crucial=False)
+    mc = trot.MPCConfig(horizon=6, n_iter=1, model_substeps=2,
+                        linearize_chunk=1, n_alphas=4, linearizer="frozen")
+    cmds = jnp.stack([jnp.array([0.3, 0.0, 0.0]), jnp.array([0.6, 0.0, 0.0])])
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    batch = runtime.wb_mpc_rollout_batch(cfg, mc, cmds, keys, 10)
+    assert batch.gc.shape == (2, 10, 19)
+    assert int(np.asarray(batch.done).sum()) == 0
+    single = runtime.wb_mpc_rollout(cfg, mc, cmds[1], keys[1], 10)
+    np.testing.assert_allclose(np.asarray(batch.gc[1]),
+                               np.asarray(single.gc), atol=1e-4)
+
+
 def test_frozen_linearizer_jacobian_accuracy(trot_setup):
     """Frozen-operator Jacobians (mpc/linearize.py) vs central FD of the TRUE
     control-step dynamics at a stance state: the surrogate freezes only the
