@@ -99,6 +99,36 @@ def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
     return batch / dt
 
 
+def _bench_wb_rh(B: int = 128, n_steps: int = 100):
+    """Whole-body MPC in the PRODUCTION configuration: a fleet of B
+    warm-started receding-horizon controllers (runtime.wb_mpc_rollout_batch,
+    h16 / 2 iterations / frozen linearizer / whole-horizon chunk / jacobian
+    reuse) — sustained solves/s serving B robots from one chip. Cold-start
+    batch solves measure the wrong workload for this engine (bench extra
+    `wholebody_ilqr_solves_per_s` keeps that number for continuity).
+    Compile ~6 min cold, so only attempted behind the .wb_rh_ok marker
+    (scripts/bench_wb_rh.py proves+caches the exact config)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime, trot
+
+    cfg = config.test_default().replace(terrain=False, crucial=False)
+    mc = trot.MPCConfig(horizon=16, n_iter=2, model_substeps=2,
+                        linearize_chunk=16, n_alphas=4, relin_every=2,
+                        linearizer="frozen")
+    cmds = jnp.stack([jnp.array([0.5 + 2.5 * (i % 8) / 7.0, 0.0, 0.0])
+                      for i in range(B)])
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _log(f"bench: compiling wb receding-horizon fleet (B={B})...")
+    t_c = time.perf_counter()
+    logs = runtime.wb_mpc_rollout_batch(cfg, mc, cmds, keys, n_steps)
+    jax.block_until_ready(logs.reward)
+    _log(f"bench: wb-RH compile+first {time.perf_counter() - t_c:.0f}s")
+    t0 = time.perf_counter()
+    logs = runtime.wb_mpc_rollout_batch(cfg, mc, cmds, keys, n_steps)
+    jax.block_until_ready(logs.reward)
+    return B * n_steps / (time.perf_counter() - t0)
+
+
 def _bench_ppo(num_envs: int = 1024, repeats: int = 2, n_steps: int = None):
     """Full PPO update throughput (rollout+GAE+10 epochs in one jit) at the
     production configuration: 1024 envs on the batch-in-lanes physics.
@@ -254,6 +284,14 @@ def main():
         except Exception as e:
             _log(f"bench: PPO extra failed ({e})")
 
+    wb_rh_per_s = None
+    if not small and os.path.exists(
+            os.path.join(os.path.dirname(__file__) or ".", ".wb_rh_ok")):
+        try:
+            wb_rh_per_s = _bench_wb_rh()
+        except Exception as e:
+            _log(f"bench: wb-RH extra failed ({e})")
+
     print(json.dumps({
         "metric": "trot_mpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 2),
@@ -265,6 +303,8 @@ def main():
             "mean_solution_cost": round(mean_cost, 3),
             "wholebody_ilqr_solves_per_s": (round(ilqr_per_s, 2)
                                             if ilqr_per_s else None),
+            "wholebody_rh_fleet_solves_per_s": (round(wb_rh_per_s, 1)
+                                                if wb_rh_per_s else None),
             "control_mae_vs_bp5_155": control_mae,
             "ppo_env_steps_per_s_per_chip": (round(ppo_per_s, 1)
                                              if ppo_per_s else None),
