@@ -68,6 +68,21 @@ def _load() -> Optional[ctypes.CDLL]:
                                        ctypes.c_long]
     lib.irrl_server_destroy.restype = None
     lib.irrl_server_destroy.argtypes = [ctypes.c_void_p]
+    lib.irrl_policy_create.restype = ctypes.c_void_p
+    lib.irrl_policy_create.argtypes = [ctypes.c_char_p]
+    lib.irrl_policy_obs_dim.restype = ctypes.c_int
+    lib.irrl_policy_obs_dim.argtypes = [ctypes.c_void_p]
+    lib.irrl_policy_act_dim.restype = ctypes.c_int
+    lib.irrl_policy_act_dim.argtypes = [ctypes.c_void_p]
+    lib.irrl_policy_reset.restype = None
+    lib.irrl_policy_reset.argtypes = [ctypes.c_void_p]
+    lib.irrl_policy_state.restype = ctypes.c_long
+    lib.irrl_policy_state.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.irrl_policy_act.restype = None
+    lib.irrl_policy_act.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p]
+    lib.irrl_policy_destroy.restype = None
+    lib.irrl_policy_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -234,3 +249,58 @@ class StateClient:
         if getattr(self, "_sock", None):
             self._sock.close()
             self._sock = None
+
+
+class NativePolicy:
+    """Robot-side deployment runtime: the native C twin of the reference's
+    NumPy onboard controller (CustomerLstmNN.predict, CustomerLstmNN.py:96-134).
+    Loads a bp5 CSV export and runs the stacked-LSTM actor at 500 Hz with no
+    Python/JAX dependency in the control loop (the C side keeps the recurrent
+    state). Verified bit-for-bit-level against models/lstm.deterministic_action
+    in tests/test_native.py."""
+
+    def __init__(self, model_dir: str):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable (no toolchain?)")
+        self._h = self._lib.irrl_policy_create(
+            os.fspath(model_dir).encode())
+        if not self._h:
+            raise IOError(f"failed to load bp5 CSV policy from {model_dir}")
+        self.obs_dim = self._lib.irrl_policy_obs_dim(self._h)
+        self.act_dim = self._lib.irrl_policy_act_dim(self._h)
+
+    def reset(self) -> None:
+        self._lib.irrl_policy_reset(self._h)
+
+    def act(self, obs: np.ndarray) -> np.ndarray:
+        """One control step: normalized obs -> action clipped to [-1, 1].
+        Advances the internal LSTM state."""
+        obs = np.ascontiguousarray(obs, dtype=np.float32)
+        if obs.shape != (self.obs_dim,):
+            raise ValueError(f"obs shape {obs.shape} != ({self.obs_dim},)")
+        out = np.empty(self.act_dim, dtype=np.float32)
+        self._lib.irrl_policy_act(self._h,
+                                  obs.ctypes.data_as(ctypes.c_void_p),
+                                  out.ctypes.data_as(ctypes.c_void_p))
+        return out
+
+    def state(self) -> np.ndarray:
+        """Recurrent state snapshot, per-layer [c|h] packing (matches
+        models/lstm.state_size layout)."""
+        size = self._lib.irrl_policy_state(self._h, None)
+        out = np.empty(size, dtype=np.float32)
+        n = self._lib.irrl_policy_state(
+            self._h, out.ctypes.data_as(ctypes.c_void_p))
+        return out[:n]
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.irrl_policy_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

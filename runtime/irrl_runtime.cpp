@@ -22,6 +22,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -32,6 +33,7 @@
 #include <poll.h>
 #include <sys/mman.h>
 #include <sys/socket.h>
+#include <string>
 #include <sys/stat.h>
 #include <thread>
 #include <unistd.h>
@@ -310,5 +312,146 @@ void irrl_server_destroy(void* h) {
   close(s->listen_fd);
   delete s;
 }
+
+// ---------------------------------------------------------------------------
+// Robot-side deployment policy: the native twin of the reference's NumPy
+// deployment runtime (CustomerLstmNN.predict, CustomerLstmNN.py:96-134 —
+// the code that actually runs on the BlackPanther's onboard computer at
+// 500 Hz). Loads a bp5 CSV export (lstm_w{x,h}{0,1}/lstm_b{0,1}/pi_{w,b}),
+// keeps the stacked-LSTM recurrent state internally, and produces the
+// clipped deterministic action. Dependency-free C ABI so the control loop
+// needs neither Python nor JAX on the robot; ~26k MACs per step runs in
+// single-digit microseconds on any embedded CPU.
+// Gate order matches CustomerLstmNN/models/lstm.py: [i | f | o | c~],
+// c' = sig(f)*c + sig(i)*tanh(c~), h' = sig(o)*tanh(c').
+// ---------------------------------------------------------------------------
+struct IrrlPolicy {
+  int obs_dim = 0, act_dim = 0;
+  int n[2] = {0, 0};                      // LSTM layer widths
+  std::vector<float> wx[2], wh[2], b[2];  // (in,4n) row-major / (n,4n) / (4n)
+  std::vector<float> pi_w, pi_b;          // (n1,act) / (act)
+  std::vector<float> h[2], c[2];          // recurrent state
+  std::vector<float> g;                   // gate scratch (max 4n)
+};
+
+static bool irrl_load_mat(const std::string& path, std::vector<float>& out,
+                          long* rows, long* cols) {
+  long n = irrl_table_load(path.c_str(), nullptr, 0, rows, cols);
+  if (n <= 0) return false;
+  out.resize(static_cast<size_t>(n));
+  return irrl_table_load(path.c_str(), out.data(), n, rows, cols) == n;
+}
+
+// Loads a bp5-format CSV directory; returns nullptr if any file is missing
+// or the shapes are inconsistent.
+void* irrl_policy_create(const char* dir) {
+  auto* p = new IrrlPolicy();
+  std::string d(dir);
+  long r = 0, cN = 0;
+  bool ok = true;
+  for (int i = 0; i < 2 && ok; ++i) {
+    char idx = static_cast<char>('0' + i);
+    ok = irrl_load_mat(d + "/lstm_wx" + idx + ".csv", p->wx[i], &r, &cN);
+    if (!ok) break;
+    if (i == 0) p->obs_dim = static_cast<int>(r);
+    p->n[i] = static_cast<int>(cN / 4);
+    ok = irrl_load_mat(d + "/lstm_wh" + idx + ".csv", p->wh[i], &r, &cN) &&
+         r == p->n[i] && cN == 4L * p->n[i];
+    if (!ok) break;
+    ok = irrl_load_mat(d + "/lstm_b" + idx + ".csv", p->b[i], &r, &cN) &&
+         static_cast<long>(p->b[i].size()) == 4L * p->n[i];
+  }
+  ok = ok && irrl_load_mat(d + "/pi_w.csv", p->pi_w, &r, &cN) && r == p->n[1];
+  if (ok) p->act_dim = static_cast<int>(cN);
+  ok = ok && irrl_load_mat(d + "/pi_b.csv", p->pi_b, &r, &cN) &&
+       static_cast<long>(p->pi_b.size()) == p->act_dim;
+  // layer-1 input must be layer-0's hidden state
+  ok = ok && static_cast<long>(p->wx[1].size()) == 4L * p->n[0] * p->n[1];
+  if (!ok) { delete p; return nullptr; }
+  for (int i = 0; i < 2; ++i) {
+    p->h[i].assign(p->n[i], 0.0f);
+    p->c[i].assign(p->n[i], 0.0f);
+  }
+  p->g.resize(4 * std::max(p->n[0], p->n[1]));
+  return p;
+}
+
+int irrl_policy_obs_dim(void* h) { return static_cast<IrrlPolicy*>(h)->obs_dim; }
+int irrl_policy_act_dim(void* h) { return static_cast<IrrlPolicy*>(h)->act_dim; }
+
+// Zero the recurrent state (episode boundary / robot power-on).
+void irrl_policy_reset(void* hp) {
+  auto* p = static_cast<IrrlPolicy*>(hp);
+  for (int i = 0; i < 2; ++i) {
+    std::fill(p->h[i].begin(), p->h[i].end(), 0.0f);
+    std::fill(p->c[i].begin(), p->c[i].end(), 0.0f);
+  }
+}
+
+// Expose the recurrent state for checkpointing a live control session:
+// out must hold 2*(n0+n1) floats, layout [c0|h0|c1|h1] (matches
+// models/lstm.state_size's per-layer [c|h] packing).
+long irrl_policy_state(void* hp, float* out) {
+  auto* p = static_cast<IrrlPolicy*>(hp);
+  if (out == nullptr) return 2L * (p->n[0] + p->n[1]);
+  long k = 0;
+  for (int i = 0; i < 2; ++i) {
+    std::memcpy(out + k, p->c[i].data(), p->n[i] * sizeof(float)); k += p->n[i];
+    std::memcpy(out + k, p->h[i].data(), p->n[i] * sizeof(float)); k += p->n[i];
+  }
+  return k;
+}
+
+static inline float irrl_sig(float x) { return 1.0f / (1.0f + std::exp(-x)); }
+
+// One 500 Hz control step: obs (obs_dim, already normalized like
+// CustomerLstmNN's caller does) -> act (act_dim, clipped to [-1, 1]).
+// Updates the internal recurrent state.
+void irrl_policy_act(void* hp, const float* obs, float* act) {
+  auto* p = static_cast<IrrlPolicy*>(hp);
+  const float* x = obs;
+  int in_dim = p->obs_dim;
+  for (int l = 0; l < 2; ++l) {
+    const int n = p->n[l], n4 = 4 * n;
+    float* g = p->g.data();
+    std::memcpy(g, p->b[l].data(), n4 * sizeof(float));
+    const float* wx = p->wx[l].data();
+    for (int k = 0; k < in_dim; ++k) {
+      const float xk = x[k];
+      if (xk == 0.0f) continue;
+      const float* row = wx + static_cast<size_t>(k) * n4;
+      for (int j = 0; j < n4; ++j) g[j] += xk * row[j];
+    }
+    const float* wh = p->wh[l].data();
+    for (int k = 0; k < n; ++k) {
+      const float hk = p->h[l][k];
+      if (hk == 0.0f) continue;
+      const float* row = wh + static_cast<size_t>(k) * n4;
+      for (int j = 0; j < n4; ++j) g[j] += hk * row[j];
+    }
+    for (int j = 0; j < n; ++j) {
+      const float ig = irrl_sig(g[j]);
+      const float fg = irrl_sig(g[n + j]);
+      const float og = irrl_sig(g[2 * n + j]);
+      const float cg = std::tanh(g[3 * n + j]);
+      p->c[l][j] = fg * p->c[l][j] + ig * cg;
+      p->h[l][j] = og * std::tanh(p->c[l][j]);
+    }
+    x = p->h[l].data();
+    in_dim = n;
+  }
+  const int n1 = p->n[1], a = p->act_dim;
+  for (int j = 0; j < a; ++j) act[j] = p->pi_b[j];
+  const float* pw = p->pi_w.data();
+  for (int k = 0; k < n1; ++k) {
+    const float hk = p->h[1][k];
+    const float* row = pw + static_cast<size_t>(k) * a;
+    for (int j = 0; j < a; ++j) act[j] += hk * row[j];
+  }
+  for (int j = 0; j < a; ++j)
+    act[j] = std::min(1.0f, std::max(-1.0f, act[j]));
+}
+
+void irrl_policy_destroy(void* hp) { delete static_cast<IrrlPolicy*>(hp); }
 
 }  // extern "C"

@@ -98,3 +98,59 @@ def test_state_server_multiple_clients(rng):
             c.close()
     finally:
         srv.close()
+
+
+BP5_DIR = "/root/reference/IRRL/script/model/bp5_155"
+
+
+@pytest.mark.skipif(not native.native_available(), reason="native runtime not built")
+def test_native_policy_matches_jax(tmp_path, rng):
+    """The C deployment runtime (irrl_policy_*) must reproduce
+    models/lstm.deterministic_action step-for-step on the same CSV export
+    (both sides load the identical quantized weights, so the only slack is
+    float op ordering)."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import io as mio
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+
+    params = lstm.init(jr.PRNGKey(3), obs_dim=35, act_dim=12, n_lstm=(48, 48))
+    mio.save_bp5_csv(params, str(tmp_path), include_value=False)
+    params = mio.load_bp5_csv(str(tmp_path))  # same quantized weights as C
+
+    pol = native.NativePolicy(str(tmp_path))
+    assert (pol.obs_dim, pol.act_dim) == (35, 12)
+    assert pol.state().shape == (2 * (48 + 48),)
+    assert np.all(pol.state() == 0.0)
+
+    state = jnp.zeros((1, lstm.state_size([48, 48])))
+    done = jnp.zeros((1,))
+    obs = rng.normal(scale=0.5, size=(60, 35)).astype(np.float32)
+    for t in range(60):
+        want, state = lstm.deterministic_action(
+            params, jnp.asarray(obs[t: t + 1]), state, done)
+        got = pol.act(obs[t])
+        np.testing.assert_allclose(got, np.asarray(want[0]), atol=2e-5)
+    assert np.any(pol.state() != 0.0)
+    pol.reset()
+    assert np.all(pol.state() == 0.0)
+    pol.close()
+
+
+@pytest.mark.skipif(not native.native_available(), reason="native runtime not built")
+@pytest.mark.skipif(not os.path.isdir(BP5_DIR), reason="bp5_155 not present")
+def test_native_policy_bp5_155(rng):
+    """The shipped reference controller loads and acts through the C runtime;
+    sanity-check determinism and the [-1, 1] clip contract."""
+    pol = native.NativePolicy(BP5_DIR)
+    assert (pol.obs_dim, pol.act_dim) == (35, 12)
+    obs = rng.normal(scale=0.3, size=(50, 35)).astype(np.float32)
+    obs[:, 0] = 1.0
+    a1 = np.stack([pol.act(o) for o in obs])
+    pol.reset()
+    a2 = np.stack([pol.act(o) for o in obs])
+    np.testing.assert_array_equal(a1, a2)
+    assert np.all(np.abs(a1) <= 1.0)
+    assert np.std(a1) > 1e-3  # actually computing something
+    pol.close()
