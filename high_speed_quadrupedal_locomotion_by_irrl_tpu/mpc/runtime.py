@@ -185,6 +185,7 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
                       stochastic_dynamics=False)
     params = mdl.nominal_params(cfg)
     dynamics = trot.make_dynamics(cfg, mpc_cfg, params)
+    linearize_fn = trot.make_linearize_fn(cfg, mpc_cfg, params)
     w = mpc_cfg.weights
     T = mpc_cfg.horizon
 
@@ -202,7 +203,7 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
                                     prob.joint_dot_refs[t], command)
 
         def term_fn(x):
-            return mcost.terminal_cost(cfg, w, x, prob.joint_refs[-1], command)
+            return mcost.terminal_cost(cfg, w, x, prob.joint_ref_T, command)
 
         # shift last plan one knot forward; repeat the tail control
         u_init = jnp.concatenate([us_prev[1:], us_prev[-1:]], axis=0)
@@ -211,8 +212,7 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
                          linearize_chunk=mpc_cfg.linearize_chunk,
                          n_alphas=mpc_cfg.n_alphas,
                          relin_every=mpc_cfg.relin_every,
-                         linearize_fn=trot.make_linearize_fn(
-                             cfg, mpc_cfg, params))
+                         linearize_fn=linearize_fn)
         action = jnp.clip(res.us[0], -1.0, 1.0)
         st = state._replace(command=command, command_filtered=command)
         out = bp.step(cfg, st, action)
@@ -270,7 +270,7 @@ def wb_mpc_rollout_batch(cfg: EnvConfig, mpc_cfg, commands: jnp.ndarray,
                                     prob.joint_dot_refs[t], command)
 
         def term_fn(x):
-            return mcost.terminal_cost(cfg, w, x, prob.joint_refs[-1], command)
+            return mcost.terminal_cost(cfg, w, x, prob.joint_ref_T, command)
 
         u_init = jnp.concatenate([us_prev[1:], us_prev[-1:]], axis=0)
         res = ilqr.solve(dynamics, cost_fn, term_fn, prob.x0, u_init,

@@ -55,6 +55,7 @@ class TrotProblem(NamedTuple):
     t0: jnp.ndarray          # () gait clock at the first knot
     joint_refs: jnp.ndarray  # (T, 12)
     joint_dot_refs: jnp.ndarray  # (T, 12)
+    joint_ref_T: jnp.ndarray  # (12,) reference at the terminal knot T
 
 
 def make_problem(cfg: EnvConfig, gc: jnp.ndarray, gv: jnp.ndarray,
@@ -63,7 +64,8 @@ def make_problem(cfg: EnvConfig, gc: jnp.ndarray, gv: jnp.ndarray,
     refs = jax.vmap(lambda t: gait.gait_reference(cfg, command, t).joint_ref)(ts)
     jd = (refs[1:] - refs[:-1]) / cfg.control_dt
     return TrotProblem(x0=jnp.concatenate([gc, gv]), command=command, t0=t0,
-                       joint_refs=refs[:-1], joint_dot_refs=jd)
+                       joint_refs=refs[:-1], joint_dot_refs=jd,
+                       joint_ref_T=refs[-1])
 
 
 def make_dynamics(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams):
@@ -114,7 +116,7 @@ def solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams,
         return mcost.stage_cost(cfg, w, x, u, jref, jdref, prob.command)
 
     def term_fn(x):
-        return mcost.terminal_cost(cfg, w, x, prob.joint_refs[-1], prob.command)
+        return mcost.terminal_cost(cfg, w, x, prob.joint_ref_T, prob.command)
 
     # warm start: track the joint reference directly (u = q_ref - stand pose)
     u_init = prob.joint_refs - mdl.stand_gc(cfg.abad)[7:]
@@ -192,7 +194,7 @@ def solve_batch_lanes(cfg: EnvConfig, mpc_cfg: MPCConfig,
     B, T = probs.joint_refs.shape[:2]
     cmd_bt = jnp.broadcast_to(probs.command[:, None], (B, T, 3))
     stage_args = (probs.joint_refs, probs.joint_dot_refs, cmd_bt)
-    term_args = (probs.joint_refs[:, -1], probs.command)
+    term_args = (probs.joint_ref_T, probs.command)
     u_inits = probs.joint_refs - mdl.stand_gc(cfg.abad)[7:]
     linearize_b = None
     if mpc_cfg.linearizer == "frozen":

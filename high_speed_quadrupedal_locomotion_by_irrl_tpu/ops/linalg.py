@@ -44,8 +44,14 @@ def solve_spd(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a matrix RHS rides through with each row as a k-wide vector — one
     factorization amortized over all columns (used by the iLQR Riccati knots
     for [Qu | Qux] and by inv_spd)."""
-    n = M.shape[-1]
-    L = cholesky_unrolled(M)
+    return solve_cholesky(cholesky_unrolled(M), b)
+
+
+def solve_cholesky(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """x = (L L^T)^-1 b from a precomputed lower Cholesky factor — lets a
+    caller amortize one factorization over several solves (e.g. the hard-
+    contact substep solves M for both qdd and the Delassus operator)."""
+    n = L.shape[-1]
     # forward substitution L y = b
     y = [None] * n
     for i in range(n):

@@ -279,12 +279,13 @@ def substep_hard(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
     h = bias_forces(params, kin, gv, f_ext)
     M = mass_matrix(params, kin)
     tau = jnp.concatenate([jnp.zeros(6), tau_joint - JOINT_DAMPING * gv[6:]])
-    gv_free = gv + dt * _linalg.solve_spd(M, tau - h)
+    L = _linalg.cholesky_unrolled(M)  # one factorization: qdd + Delassus
+    gv_free = gv + dt * _linalg.solve_cholesky(L, tau - h)
 
     J = hc.toe_jacobians(kin)
     gap, basis = hc.contact_frames(tp, kin.toe_pos)
     sol = hc.solve_impulses(M, J, gv_free, gap, basis, params.friction, dt,
-                            n_iter, lam0=lam0)
+                            n_iter, lam0=lam0, chol=L)
     gc2, gv2 = integrate(gc, gv, (sol.gv_plus - gv) / dt, dt)
     lam_norm = jnp.linalg.norm(sol.lam, axis=-1) / dt
     diag = StepDiagnostics(toe_pos=kin.toe_pos, toe_vel=sol.toe_vel_plus,

@@ -40,6 +40,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.ops import linalg as _linalg
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import spatial as _sp
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import terrain as _terrain
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys.model import (
     ANC_MASK, SHANK_BODY_IDX, TOE_RADIUS)
@@ -57,14 +59,6 @@ class ContactSolution(NamedTuple):
     toe_vel_plus: jnp.ndarray  # (4, 3) post-impulse world toe velocities
 
 
-def _skew(p):
-    z = jnp.zeros_like(p[..., 0])
-    return jnp.stack([
-        jnp.stack([z, -p[..., 2], p[..., 1]], axis=-1),
-        jnp.stack([p[..., 2], z, -p[..., 0]], axis=-1),
-        jnp.stack([-p[..., 1], p[..., 0], z], axis=-1)], axis=-2)
-
-
 def toe_jacobians(kin) -> jnp.ndarray:
     """(4, 3, 18) world-frame point Jacobians of the toe centers.
 
@@ -73,7 +67,7 @@ def toe_jacobians(kin) -> jnp.ndarray:
     and a body-fixed point at world p moves at v_O + w x p."""
     phi = kin.S[None] * jnp.asarray(ANC_MASK)[SHANK_BODY_IDX][:, None, :]
     w_rows, v_rows = phi[:, :3, :], phi[:, 3:, :]          # (4,3,18) each
-    return v_rows - _skew(kin.toe_pos) @ w_rows
+    return v_rows - _sp.skew(kin.toe_pos) @ w_rows
 
 
 def contact_frames(tp, toe_pos):
@@ -85,10 +79,13 @@ def contact_frames(tp, toe_pos):
     ground = _terrain.height(tp, toe_pos[..., 0], toe_pos[..., 1])
     n = _terrain.normal(tp, toe_pos[..., 0], toe_pos[..., 1])   # (4,3)
     gap = (toe_pos[..., 2] - ground) * n[..., 2] - TOE_RADIUS
-    # tangent basis: project world-x out of n; fall back to world-y near
-    # vertical-x normals (never happens on walkable slopes, but branchless)
+    # tangent basis: project world-x out of n; switch the seed axis to
+    # world-y when the normal is near world-x (|n_x| > 0.9 — impossible on
+    # walkable slopes but keeps the basis orthonormal on any terrain sample)
     ex = jnp.array([1.0, 0.0, 0.0])
-    t1 = ex - n * n[..., 0:1]
+    ey = jnp.array([0.0, 1.0, 0.0])
+    seed = jnp.where(jnp.abs(n[..., 0:1]) < 0.9, ex, ey)
+    t1 = seed - n * jnp.sum(n * seed, axis=-1, keepdims=True)
     t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True).clip(1e-6)
     t2 = jnp.cross(n, t1)
     basis = jnp.stack([n, t1, t2], axis=-1)                 # (4,3,3)
@@ -98,19 +95,28 @@ def contact_frames(tp, toe_pos):
 def solve_impulses(M: jnp.ndarray, J: jnp.ndarray, gv_free: jnp.ndarray,
                    gap: jnp.ndarray, basis: jnp.ndarray, mu: jnp.ndarray,
                    dt: float, n_iter: int = 12,
-                   lam0: jnp.ndarray | None = None) -> ContactSolution:
+                   lam0: jnp.ndarray | None = None,
+                   chol: jnp.ndarray | None = None) -> ContactSolution:
     """Projected Gauss-Seidel over the 4 toe contacts.
 
     M (18,18), J (4,3,18) world point Jacobians, gv_free post-smooth-forces
     velocity, gap (4,) signed distances, basis (4,3,3) [n t1 t2] columns.
     lam0: warm-start impulses (the previous substep's solution — contacts
     persist across the 0.25 ms substeps, so this buys most of PGS's
-    convergence for free; the standard velocity-stepping trick)."""
+    convergence for free; the standard velocity-stepping trick).
+    chol: optional precomputed lower Cholesky factor of M (the caller
+    already factorizes M for the free-velocity solve; reuse it here)."""
     # local-frame Jacobians: rows express contact-point velocity in [n,t1,t2]
     Jl = jnp.einsum("cki,ckd->cid", basis, J).reshape(12, 18)
-    W = jnp.linalg.solve(M, Jl.T)                           # M^-1 J^T (18,12)
+    # M^-1 J^T via the unrolled-Cholesky solve (one factorization, 12-wide
+    # matrix RHS) — jnp.linalg.solve's generic LU lowers to the sequential
+    # dynamic-slice loops ops/linalg.py exists to avoid under vmap
+    if chol is None:
+        chol = _linalg.cholesky_unrolled(M)
+    W = _linalg.solve_cholesky(chol, Jl.T)                  # M^-1 J^T (18,12)
     G = Jl @ W                                              # (12,12) Delassus
-    v0 = Jl @ gv_free                                       # (12,)
+    Gc = G.reshape(4, 3, 12)                                # per-contact rows
+    v0 = (Jl @ gv_free).reshape(4, 3)
     active = (gap < 0.0)
     v_des = jnp.minimum(ERP * jnp.maximum(-gap - SLOP, 0.0) / dt, V_PUSH_MAX)
 
@@ -119,7 +125,7 @@ def solve_impulses(M: jnp.ndarray, J: jnp.ndarray, gv_free: jnp.ndarray,
 
     def sweep(lam, _):
         def one_contact(lam, i):
-            v = (v0 + G @ lam.reshape(12)).reshape(4, 3)[i]
+            v = v0[i] + Gc[i] @ lam.reshape(12)             # this contact's 3 rows
             ln = jnp.maximum(lam[i, 0] - (v[0] - v_des[i]) / Gd[i, 0], 0.0)
             lt = lam[i, 1:] - v[1:] / Gd[i, 1:]
             cap = mu * ln

@@ -6,7 +6,7 @@ The north star is >=1024 solves/s/chip (BASELINE.json); round 1 measured
 the number that sets how many chips a production fleet of receding-horizon
 controllers actually needs.
 
-Usage: python scripts/bench_srb_sweep.py [horizon]
+Usage: python scripts/bench_srb_sweep.py [horizon] [batch,batch,...]
 """
 
 import os
@@ -29,7 +29,9 @@ def main():
     horizon = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     cfg = config.test_default()
     scfg = srb.SRBConfig(horizon=horizon)
-    for batch in (256, 1024, 4096, 8192):
+    batches = (tuple(int(b) for b in sys.argv[2].split(","))
+               if len(sys.argv) > 2 else (256, 1024, 4096, 8192))
+    for batch in batches:
         cmds = jnp.stack([jnp.array([1.0 + 4.0 * (i % 17) / 16.0, 0.0, 0.0])
                           for i in range(batch)])
         t0s = jnp.arange(batch) * 0.003
