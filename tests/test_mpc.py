@@ -278,3 +278,21 @@ def test_trot_frozen_linearizer_solver_parity(trot_setup):
     # within 10% of the FD-linearized solution cost
     np.testing.assert_allclose(np.asarray(fz_res.cost),
                                np.asarray(fd_res.cost), rtol=0.10)
+
+
+def test_trot_problem_terminal_ref_is_knot_T(trot_setup):
+    # regression for the one-knot-stale terminal reference: joint_ref_T must
+    # be the gait reference evaluated at t0 + T*dt, not joint_refs[-1] (knot
+    # T-1) — mpc/trot.make_problem
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import gait
+
+    cfg, mpc_cfg, _ = trot_setup
+    T = mpc_cfg.horizon
+    cmd = jnp.array([1.0, 0.0, 0.0])
+    prob = trot.make_problem(cfg, trot.standing_x0(cfg)[:19], jnp.zeros(18),
+                             cmd, jnp.asarray(0.0), T)
+    expect = gait.gait_reference(cfg, cmd, jnp.asarray(T * cfg.control_dt))
+    np.testing.assert_allclose(np.asarray(prob.joint_ref_T),
+                               np.asarray(expect.joint_ref), atol=1e-6)
+    assert not np.allclose(np.asarray(prob.joint_ref_T),
+                           np.asarray(prob.joint_refs[-1]))
