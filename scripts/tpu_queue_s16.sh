@@ -1,0 +1,38 @@
+#!/bin/bash
+# Session-5 TPU queue #16 (fresh machine, round-2 continuation): the compile
+# cache (.jax_cache) was wiped with the machine reset, and .ppo_lanes_ok is
+# gone with it. Re-warm in value order: (1) PPO lanes 1024 — restores the
+# marker so bench.py reports the production training throughput; (2) wb
+# receding-horizon fleet — .wb_rh_ok is tracked in git, so bench.py WILL
+# attempt it and would eat a ~6 min cold compile otherwise; (3) full bench.py
+# — warms the SRB 8192/h50 + env 4096 + iLQR vmap graphs so the driver's
+# end-of-round bench run is pure warm-cache.
+cd /root/repo
+mkdir -p runs
+LOG=runs/tpu_queue.log
+echo "queue s16 start at $(date)" >> $LOG
+probe() {
+    timeout 240 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128))
+assert float((x @ x).sum()) > 0
+" > /dev/null 2>&1
+}
+wait_healthy() {
+    until probe; do
+        echo "tpu unhealthy at $(date); sleeping 300s" >> $LOG; sleep 300
+    done
+    echo "tpu healthy at $(date)" >> $LOG
+}
+run_job() {
+    local t=$1 log=$2; shift 2
+    wait_healthy
+    echo "start: $* at $(date)" >> $LOG
+    timeout "$t" "$@" >> "$log" 2>&1
+    echo "$* done rc=$? at $(date)" >> $LOG
+    sleep 10
+}
+run_job 5400 runs/ppo_warm.log python scripts/bench_ppo.py 1024 lanes
+run_job 3600 runs/wb_rh.log python scripts/bench_wb_rh.py 128 100 4 2 16 2
+run_job 7200 runs/bench_warm.log python bench.py
+echo "queue s16 complete at $(date)" >> $LOG
