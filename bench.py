@@ -16,6 +16,7 @@ import json
 import os
 import sys
 import time
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,16 +26,93 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _timeit(solve, arg, repeats):
+# Plausibility ceilings (units/s) wired to the physics of each workload: a
+# warm-cache/async-dispatch anomaly once recorded 50M wb-RH solves/s and 289M
+# PPO steps/s in runs/bench_warm.log (round 2) — numbers physically impossible
+# for workloads that run >=100 physics substeps per unit. Rates above the
+# ceiling are treated as measurement failures and re-measured, never published.
+CEILINGS = {
+    "srb": 5e6,      # h50 Riccati + cone projection >= ~0.2 us/solve batched
+    "env": 5e6,      # 8 x 4 kHz substeps + reward >= ~0.2 us/step batched
+    "ilqr": 5e4,     # cold-start whole-body iLQR: 8 iters x h50 physics
+    "wb_rh": 5e4,    # warm-started h16 solve >= ~20 us even at fleet width
+    "ppo": 5e6,      # PPO step >= env step + LSTM fwd/bwd share
+}
+
+
+class BenchTiming(NamedTuple):
+    rate: float          # units/s (None-able at the call site)
+    wall_s: float        # total measured wall time of the accepted pass
+    repeats: int         # repeats in the accepted pass
+    consistency: float   # max/min rate ratio across the two accepted passes
+    attempts: int        # measurement attempts before acceptance
+
+
+def _measure_rate(run_once, units_per_call, repeats, ceiling_key,
+                  min_wall=0.05, max_attempts=5):
+    """Guarded throughput measurement (round-2 VERDICT item 3).
+
+    run_once() must dispatch one workload execution and return its output
+    (blocking not required; we block on the last output). Guards:
+    - minimum wall time: if a pass finishes under ``min_wall`` s the repeat
+      count is scaled up and the pass re-run (a too-short pass measures
+      dispatch, not compute);
+    - repeat consistency: two consecutive passes must agree within 25%
+      (max/min < 1.25), else both are discarded and re-tried;
+    - plausibility ceiling: a rate above CEILINGS[ceiling_key] is a
+      measurement failure (see CEILINGS note), never a result.
+    Returns BenchTiming or None if no valid measurement was obtained.
+    """
+    ceiling = CEILINGS[ceiling_key]
+
+    def one_pass(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = run_once()
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    attempts = 0
+    while attempts < max_attempts:
+        attempts += 1
+        dt1 = one_pass(repeats)
+        if dt1 < min_wall:
+            scale = max(2.0, (2.0 * min_wall) / max(dt1, 1e-9))
+            repeats = int(repeats * min(scale, 64.0)) + 1
+            continue
+        dt2 = one_pass(repeats)
+        r1 = units_per_call * repeats / dt1
+        r2 = units_per_call * repeats / dt2
+        consistency = max(r1, r2) / max(min(r1, r2), 1e-12)
+        rate = (r1 + r2) / 2.0
+        if consistency > 1.25:
+            _log(f"bench: inconsistent passes ({r1:.0f} vs {r2:.0f} /s), "
+                 "retrying")
+            continue
+        if rate > ceiling:
+            _log(f"bench: rate {rate:.0f}/s breaches the {ceiling_key} "
+                 f"plausibility ceiling {ceiling:.0f}/s — discarding pass")
+            continue
+        return BenchTiming(rate=rate, wall_s=dt1 + dt2, repeats=repeats,
+                           consistency=round(consistency, 4),
+                           attempts=attempts)
+    _log(f"bench: no valid measurement for {ceiling_key} after "
+         f"{max_attempts} attempts")
+    return None
+
+
+def _timeit(solve, arg, units_per_call, repeats, ceiling_key):
+    """Compile+warm solve(arg), then guarded-measure its throughput.
+
+    Returns (timing: BenchTiming | None, compile_s, first_out)."""
     t_c = time.perf_counter()
     out = solve(arg)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t_c
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = solve(arg)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / repeats, compile_s, out
+    timing = _measure_rate(lambda: solve(arg), units_per_call, repeats,
+                           ceiling_key)
+    return timing, compile_s, out
 
 
 def _bench_srb(batch: int, horizon: int, repeats: int = 10):
@@ -49,9 +127,12 @@ def _bench_srb(batch: int, horizon: int, repeats: int = 10):
     probs = jax.vmap(lambda c, t: srb.standing_problem(cfg, c, t))(cmds, t0s)
     solve = jax.jit(lambda p: srb.batched_solve(cfg, scfg, p).cost)
     _log(f"bench: compiling SRB MPC (batch={batch}, horizon={horizon})...")
-    dt, compile_s, cost = _timeit(solve, probs, repeats)
-    _log(f"bench: SRB compile {compile_s:.0f}s, run {dt*1e3:.1f} ms")
-    return batch / dt, float(jnp.mean(cost))
+    timing, compile_s, cost = _timeit(solve, probs, batch, repeats, "srb")
+    if timing is None:
+        raise RuntimeError("SRB headline measurement failed the guards")
+    _log(f"bench: SRB compile {compile_s:.0f}s, "
+         f"run {batch / timing.rate * 1e3:.1f} ms")
+    return timing, float(jnp.mean(cost))
 
 
 def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
@@ -94,9 +175,11 @@ def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
         solve = jax.jit(lambda pr: trot.batched_solve(cfg, mpc_cfg, pb, pr).cost)
     _log(f"bench: compiling whole-body iLQR ({'lanes' if lanes else 'vmap'}, "
          f"batch={batch})...")
-    dt, compile_s, _ = _timeit(solve, probs, repeats)
-    _log(f"bench: iLQR compile {compile_s:.0f}s, run {dt*1e3:.0f} ms")
-    return batch / dt
+    timing, compile_s, _ = _timeit(solve, probs, batch, repeats, "ilqr")
+    _log(f"bench: iLQR compile {compile_s:.0f}s, "
+         + (f"run {batch / timing.rate * 1e3:.0f} ms" if timing else
+            "measurement failed"))
+    return timing, ("lanes" if lanes else "vmap")
 
 
 def _bench_wb_rh(B: int = 128, n_steps: int = 100):
@@ -123,10 +206,10 @@ def _bench_wb_rh(B: int = 128, n_steps: int = 100):
     logs = runtime.wb_mpc_rollout_batch(cfg, mc, cmds, keys, n_steps)
     jax.block_until_ready(logs.reward)
     _log(f"bench: wb-RH compile+first {time.perf_counter() - t_c:.0f}s")
-    t0 = time.perf_counter()
-    logs = runtime.wb_mpc_rollout_batch(cfg, mc, cmds, keys, n_steps)
-    jax.block_until_ready(logs.reward)
-    return B * n_steps / (time.perf_counter() - t0)
+    return _measure_rate(
+        lambda: runtime.wb_mpc_rollout_batch(cfg, mc, cmds, keys,
+                                             n_steps).reward,
+        B * n_steps, 1, "wb_rh")
 
 
 def _bench_ppo(num_envs: int = 1024, repeats: int = 2, n_steps: int = None):
@@ -149,12 +232,14 @@ def _bench_ppo(num_envs: int = 1024, repeats: int = 2, n_steps: int = None):
     ts, m = update(ts)
     jax.block_until_ready(m["loss"])
     _log(f"bench: PPO compile+first {time.perf_counter() - t_c:.0f}s")
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        ts, m = update(ts)
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / repeats
-    return batch / dt
+
+    holder = {"ts": ts}
+
+    def once():
+        holder["ts"], m = update(holder["ts"])
+        return m["loss"]
+
+    return _measure_rate(once, batch, repeats, "ppo")
 
 
 def _bench_env(batch: int, n_steps: int, repeats: int = 3):
@@ -178,12 +263,14 @@ def _bench_env(batch: int, n_steps: int, repeats: int = 3):
     s2, tot = run_j(state)
     jax.block_until_ready(tot)
     _log(f"bench: env compile+warmup {time.perf_counter() - t_c:.1f}s")
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        s2, tot = run_j(s2)
-    jax.block_until_ready(tot)
-    dt = (time.perf_counter() - t0) / repeats
-    return batch * n_steps / dt
+
+    holder = {"s": s2}
+
+    def once():
+        holder["s"], tot = run_j(holder["s"])
+        return tot
+
+    return _measure_rate(once, batch * n_steps, repeats, "env")
 
 
 def _bench_control_mae(T: int = 200):
@@ -252,8 +339,9 @@ def main():
     env_steps = 8 if small else 100
     ilqr_batch = 8 if small else 64
 
-    solves_per_s, mean_cost = _bench_srb(srb_batch, horizon)
-    env_steps_per_s = _bench_env(env_batch, env_steps)
+    srb_timing, mean_cost = _bench_srb(srb_batch, horizon)
+    solves_per_s = srb_timing.rate
+    env_timing = _bench_env(env_batch, env_steps)
     control_mae = _bench_control_mae()
     # The lanes-batched iLQR graph is compile-bound on the TPU toolchain
     # (measured: >60 min XLA compile at batch 64 / chunk 10 / horizon 50 —
@@ -262,35 +350,40 @@ def main():
     # vmap whole-body solver is the measured extra.
     use_lanes = os.path.exists(os.path.join(os.path.dirname(__file__) or ".",
                                             ".ilqr_lanes_ok"))
+    ilqr_timing, ilqr_path = None, None
     try:
-        ilqr_per_s = _bench_ilqr(ilqr_batch, horizon, n_iter=2 if small else 8,
-                                 lanes=use_lanes)
+        ilqr_timing, ilqr_path = _bench_ilqr(
+            ilqr_batch, horizon, n_iter=2 if small else 8, lanes=use_lanes)
     except Exception as e:  # keep the headline even if the heavy extra fails
         _log(f"bench: iLQR extra failed ({e})" +
              ("; trying vmap path" if use_lanes else ""))
         try:
-            ilqr_per_s = (_bench_ilqr(ilqr_batch, horizon,
-                                      n_iter=2 if small else 8, lanes=False)
-                          if use_lanes else None)
+            if use_lanes:
+                ilqr_timing, ilqr_path = _bench_ilqr(
+                    ilqr_batch, horizon, n_iter=2 if small else 8, lanes=False)
         except Exception as e2:
             _log(f"bench: iLQR extra failed: {e2}")
-            ilqr_per_s = None
 
-    ppo_per_s = None
+    ppo_timing = None
     if not small and os.path.exists(
             os.path.join(os.path.dirname(__file__) or ".", ".ppo_lanes_ok")):
         try:
-            ppo_per_s = _bench_ppo()
+            ppo_timing = _bench_ppo()
         except Exception as e:
             _log(f"bench: PPO extra failed ({e})")
 
-    wb_rh_per_s = None
+    wb_rh_timing = None
     if not small and os.path.exists(
             os.path.join(os.path.dirname(__file__) or ".", ".wb_rh_ok")):
         try:
-            wb_rh_per_s = _bench_wb_rh()
+            wb_rh_timing = _bench_wb_rh()
         except Exception as e:
             _log(f"bench: wb-RH extra failed ({e})")
+
+    def prov(t):  # measurement provenance per guarded extra
+        return None if t is None else {
+            "wall_s": round(t.wall_s, 3), "repeats": t.repeats,
+            "consistency": t.consistency, "attempts": t.attempts}
 
     print(json.dumps({
         "metric": "trot_mpc_solves_per_s_per_chip",
@@ -301,16 +394,30 @@ def main():
             "solver": "convex SRB trot-MPC (TV-LQR Riccati + cone projection)",
             "mpc_batch": srb_batch, "horizon": horizon,
             "mean_solution_cost": round(mean_cost, 3),
-            "wholebody_ilqr_solves_per_s": (round(ilqr_per_s, 2)
-                                            if ilqr_per_s else None),
-            "wholebody_rh_fleet_solves_per_s": (round(wb_rh_per_s, 1)
-                                                if wb_rh_per_s else None),
+            "wholebody_ilqr_solves_per_s": (round(ilqr_timing.rate, 2)
+                                            if ilqr_timing else None),
+            "wholebody_ilqr_path": ilqr_path,
+            "wholebody_rh_fleet_solves_per_s": (round(wb_rh_timing.rate, 1)
+                                                if wb_rh_timing else None),
             "control_mae_vs_bp5_155": control_mae,
-            "ppo_env_steps_per_s_per_chip": (round(ppo_per_s, 1)
-                                             if ppo_per_s else None),
-            "env_steps_per_s_per_chip": round(env_steps_per_s, 1),
+            "ppo_env_steps_per_s_per_chip": (round(ppo_timing.rate, 1)
+                                             if ppo_timing else None),
+            "env_steps_per_s_per_chip": (round(env_timing.rate, 1)
+                                         if env_timing else None),
             "env_batch": env_batch,
             "device": str(jax.devices()[0]),
+            "markers": {
+                "ilqr_lanes_ok": use_lanes,
+                "ppo_lanes_ok": os.path.exists(os.path.join(
+                    os.path.dirname(__file__) or ".", ".ppo_lanes_ok")),
+                "wb_rh_ok": os.path.exists(os.path.join(
+                    os.path.dirname(__file__) or ".", ".wb_rh_ok")),
+            },
+            "timing_guards": {
+                "srb": prov(srb_timing), "env": prov(env_timing),
+                "ilqr": prov(ilqr_timing), "ppo": prov(ppo_timing),
+                "wb_rh": prov(wb_rh_timing),
+            },
         },
     }))
 

@@ -79,17 +79,19 @@ def speed_schedule(cfg: EnvConfig, vx: float):
 def wb_speed_schedule(cfg: EnvConfig, vx: float):
     """Speed-scheduled whole-body receding-horizon iLQR configuration.
 
-    Encodes the round-2 measured schedule (scripts/wb_mpc_eval.py +
-    wb_mpc_followup.py): T=0.20 default; T=0.14 in the cmd-3 transition
-    regime (the T=0.20 dip there mirrors the zone the reference's own
-    training struggled with) and at cmd 5. Measured closed loop:
-    0.92 / 1.87 / 2.88 / 3.92 / 4.68 m/s at cmd 1-5, zero falls.
+    Encodes the round-3 re-measured schedule (scripts/wb_retune.py,
+    runs/wb_retune.log — re-tuned after the terminal-knot fix shifted the
+    cost landscape and broke the old cmd-4 T=0.20 point to 0.88 m/s with
+    falls): T=0.20 below 2.5 m/s, T=0.14 from cmd 3 up (the cmd-3
+    transition-regime dip at T=0.20 mirrors the zone the reference's own
+    training struggled with). Measured closed loop (5 s rollouts):
+    0.93 / 1.86 / 2.88 / 3.94 / 4.66 m/s at cmd 1-5, zero falls.
 
     Returns (env_cfg, MPCConfig) for :func:`wb_mpc_rollout`."""
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import trot
 
     env_cfg = cfg.replace(crucial=False, terrain=False)
-    period = 0.14 if (2.5 <= vx < 3.5 or vx >= 4.5) else 0.20
+    period = 0.14 if vx >= 2.5 else 0.20
     env_cfg = env_cfg.replace(period=period)
     mpc_cfg = trot.MPCConfig(horizon=16, n_iter=2, model_substeps=2,
                              linearize_chunk=4, n_alphas=4, relin_every=1,

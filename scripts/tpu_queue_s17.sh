@@ -11,7 +11,16 @@ cd /root/repo
 mkdir -p runs
 LOG=runs/tpu_queue.log
 echo "queue s17 waiting for s16 at $(date)" >> $LOG
-until grep -q "queue s16 complete" $LOG; do sleep 60; done
+# bounded wait (ADVICE round 2): if s16 died without its completion line
+# (e.g. machine reset), give up after 4 h and say so instead of spinning
+WAITED=0
+until grep -q "queue s16 complete" $LOG; do
+    sleep 60; WAITED=$((WAITED + 60))
+    if [ $WAITED -ge 14400 ]; then
+        echo "s16 never completed after 4h; s17 proceeding anyway at $(date)" >> $LOG
+        break
+    fi
+done
 probe() {
     timeout 240 python -c "
 import jax, jax.numpy as jnp
@@ -36,14 +45,20 @@ run_job() {
 run_job 5400 runs/wb_sched.log python scripts/wb_sched_eval.py 1500
 run_job 5400 runs/ppo_terrain.log python scripts/bench_ppo.py 1024 lanes 5 terrain
 CFG=high_speed_quadrupedal_locomotion_by_irrl_tpu/configs/bp5_imitation_terrain.yaml
-run_job 3600 runs/terrain_train.log python -m \
+# unique per-invocation log dir (ADVICE round 2): a rerun must never eval a
+# stale csv_final from an earlier run; 5400 s timeout leaves cold-compile
+# headroom (the ~25 min estimate assumed a warm lanes+terrain graph)
+TDIR=runs/terrain_imit_$(date +%s)
+run_job 5400 runs/terrain_train.log python -m \
     high_speed_quadrupedal_locomotion_by_irrl_tpu.cli.train \
     --cfg $CFG --num-envs 1024 --max-iter 30000000 \
-    --log-dir runs/terrain_imit --eval-every 100
-MODEL=$(ls -dt runs/terrain_imit/*/csv_final 2>/dev/null | head -1)
+    --log-dir $TDIR --eval-every 100
+MODEL=$(ls -dt $TDIR/*/csv_final 2>/dev/null | head -1)
 if [ -n "$MODEL" ]; then
     run_job 3600 runs/terrain_eval.log python -m \
         high_speed_quadrupedal_locomotion_by_irrl_tpu.cli.test \
         --model "$MODEL" --cfg $CFG --eval --steps 1500 --commands 1,2,3
+else
+    echo "terrain train produced no csv_final (timed out/failed); eval skipped at $(date)" >> $LOG
 fi
 echo "queue s17 complete at $(date)" >> $LOG
