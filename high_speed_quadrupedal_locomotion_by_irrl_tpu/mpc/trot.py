@@ -37,10 +37,16 @@ class MPCConfig:
     linearize_chunk: int = 1
     n_alphas: int = 8       # parallel line-search widths
     relin_every: int = 1    # jacobian reuse interval (ilqr.solve notes)
-    fd_eps: float = 3e-4    # central-FD step for the lanes-batched solver
-                            # (ilqr.solve_batch notes; 3e-4 balances f32
-                            # rounding vs contact-stiffness smearing —
-                            # measured 1e-4 noise-limited, 1e-3 smear-limited);
+    fd_eps: float = 1e-3    # central-FD step for the lanes-batched solver
+                            # (ilqr.solve_batch notes). Round-3 re-measure
+                            # after the terminal-knot fix: 3e-4 Jacobian
+                            # noise stalls the descent on a 9.47-cost
+                            # plateau at low commands (true optimum 8.0,
+                            # reached by both AD and the frozen surrogate),
+                            # while 1e-3 descends cleanly to 8.1 and even
+                            # edges AD at cmd 1.5 (73.67 vs 74.03) — the
+                            # contact-smearing cost of the larger step is
+                            # smaller than its noise-rejection win.
                             # 0 = AD (compile-infeasible through lanes)
     linearizer: str = "fd"  # "fd" (central differences through the lanes
                             # dynamics) or "frozen" (structure-exploiting

@@ -72,7 +72,7 @@ def run_rig(n_procs: int):
         env=env, cwd=REPO) for i in range(n_procs)]
     outs = []
     for i, p in enumerate(procs):
-        out, err = p.communicate(timeout=1800)
+        out, err = p.communicate(timeout=5400)
         if p.returncode != 0:
             print(err[-4000:], file=sys.stderr)
             raise SystemExit(f"rig worker {i} failed rc={p.returncode}")
@@ -168,8 +168,12 @@ def worker(args):
     r1_ppo = timed(ppo1_once, (num_envs // n_dev) * n_steps)
 
     b1 = srb_batch // n_dev
-    probs1 = jax.device_put(jax.tree.map(lambda a: a[:b1], probs),
-                            pmesh.data_sharding(mesh1))
+    # rebuild from host values: slicing the globally-sharded probs is not
+    # fully addressable from one process in the multi-host case
+    probs1 = jax.device_put(
+        jax.vmap(lambda c, t: srb.standing_problem(env_cfg, c, t))(
+            cmds[:b1], t0s[:b1]),
+        pmesh.data_sharding(mesh1))
     solve1 = ptrain.make_distributed_srb(env_cfg, scfg, mesh1)
     r1_srb = timed(lambda: solve1(probs1).cost, b1)
 

@@ -147,10 +147,11 @@ def test_trot_solve_batch_lanes_parity(trot_setup):
 
     cfg, mpc_cfg, params = trot_setup
     # converge both paths: AD (vmap) vs central-FD (lanes) take different
-    # descent routes, and at n_iter=6 the lanes trace is still descending
-    # ~0.5/iter on the slowest problem (measured 5.7% apart — a whisker over
-    # the tolerance); by 8 iterations both sit near the optimum
-    mpc_cfg = dataclasses.replace(mpc_cfg, n_iter=8)
+    # descent routes. Round-3 traces (fd_eps=1e-3, post terminal-knot fix):
+    # the slow problem (cmd 0.5) reads 8.27 on FD vs ~8.01 on AD at 10
+    # iterations (3.2%), both still inching toward the same optimum; the
+    # cmd-1.5 problem agrees to <0.5% by iteration 8
+    mpc_cfg = dataclasses.replace(mpc_cfg, n_iter=10)
     B = 2
     cmds = jnp.stack([jnp.array([v, 0.0, 0.0]) for v in (0.5, 1.5)])
     probs = jax.vmap(lambda c: trot.make_problem(
@@ -259,7 +260,10 @@ def test_trot_frozen_linearizer_solver_parity(trot_setup):
     import dataclasses
 
     cfg, mpc_cfg, params = trot_setup
-    mpc_cfg = dataclasses.replace(mpc_cfg, n_iter=6)
+    # 8 iterations: at 6 the FD path is still ~0.4/iter from its optimum on
+    # the cmd-0.5 problem (round-3 trace: 8.78 at iter 6 -> 8.40 at iter 8
+    # vs frozen's ~8.0) and the comparison measures transient, not solution
+    mpc_cfg = dataclasses.replace(mpc_cfg, n_iter=8)
     B = 2
     cmds = jnp.stack([jnp.array([v, 0.0, 0.0]) for v in (0.5, 1.5)])
     probs = jax.vmap(lambda c: trot.make_problem(
