@@ -262,12 +262,17 @@ def make_update_fn(env_cfg: EnvConfig, ppo_cfg: PPOConfig) -> Callable:
 def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
           key: jax.Array, params: Optional[lstm.PolicyParams] = None,
           eval_every_n: int = 100, callback=None, verbose: bool = True,
-          metrics_hook=None):
+          metrics_hook=None, opt_state=None):
     """Training loop (PPO2.learn parity: periodic eval hook + checkpointing
     are the caller's callback, mirroring ppo2.py:331-341; `metrics_hook`
     fires every update — the CLI uses it to persist metrics.jsonl, this
-    framework's TensorBoard-writer stand-in)."""
+    framework's TensorBoard-writer stand-in). ``opt_state`` restores the
+    optimizer from a checkpoint (this framework saves it, unlike PPO2.save
+    — ppo2.py:452-476 drops it); env/LSTM states re-init fresh, which is
+    sound for on-policy PPO."""
     ts = init_train_state(env_cfg, ppo_cfg, key, params)
+    if opt_state is not None:
+        ts = ts._replace(opt_state=opt_state)
     update_fn = jax.jit(make_update_fn(env_cfg, ppo_cfg))
     batch_size = env_cfg.num_envs * ppo_cfg.n_steps
     n_updates = max(1, total_timesteps // batch_size)

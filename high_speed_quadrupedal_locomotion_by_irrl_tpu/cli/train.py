@@ -36,6 +36,10 @@ def parse_args(argv):
                    help="total env steps (reference --max_iter)")
     p.add_argument("--load", type=str, default=None,
                    help="checkpoint .pkl or bp5 CSV dir to warm-start (relaxation)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint .pkl to resume params AND optimizer state "
+                        "from (interrupted-run continuation; --max-iter then "
+                        "counts the REMAINING env steps)")
     p.add_argument("--logstd", type=float, default=None,
                    help="override initial logstd (useful when warm-starting "
                         "from a CSV export that predates the logstd.csv field)")
@@ -83,8 +87,12 @@ def main(argv=None):
     if args.max_updates is not None:
         args.max_iter = args.max_updates * env_cfg.num_envs * ppo_cfg.n_steps
 
-    params = None
-    if args.load:
+    params, opt_state = None, None
+    if args.resume:
+        tree, step = mio.load_checkpoint(args.resume)
+        params, opt_state = tree
+        print(f"resuming params+optimizer from {args.resume} (update {step})")
+    elif args.load:
         if os.path.isdir(args.load):
             params = mio.load_bp5_csv(args.load)
         else:
@@ -106,7 +114,8 @@ def main(argv=None):
         mio.save_bp5_csv(ts.params, os.path.join(run_dir, f"csv_{step}"))
 
     key = jax.random.PRNGKey(env_cfg.seed)
-    ts = _train(args, env_cfg, ppo_cfg, key, params, run_dir, callback, mlog)
+    ts = _train(args, env_cfg, ppo_cfg, key, params, run_dir, callback, mlog,
+                opt_state=opt_state)
     mio.save_checkpoint(os.path.join(run_dir, "ckpt_final.pkl"),
                         (ts.params, ts.opt_state), int(ts.update_idx))
     mio.save_bp5_csv(ts.params, os.path.join(run_dir, "csv_final"))
@@ -122,10 +131,13 @@ def main(argv=None):
     return run_dir
 
 
-def _train(args, env_cfg, ppo_cfg, key, params, run_dir, callback, mlog):
+def _train(args, env_cfg, ppo_cfg, key, params, run_dir, callback, mlog,
+           opt_state=None):
     if args.distributed:
         mesh = pmesh.make_mesh()
         ts = ppo.init_train_state(env_cfg, ppo_cfg, key, params)
+        if opt_state is not None:
+            ts = ts._replace(opt_state=opt_state)
         ts = ptrain.shard_train_state(mesh, ts)
         update = ptrain.make_distributed_update(env_cfg, ppo_cfg, mesh)
         batch = env_cfg.num_envs * ppo_cfg.n_steps
@@ -140,7 +152,7 @@ def _train(args, env_cfg, ppo_cfg, key, params, run_dir, callback, mlog):
     else:
         ts = ppo.learn(env_cfg, ppo_cfg, args.max_iter, key, params,
                        eval_every_n=args.eval_every, callback=callback,
-                       metrics_hook=mlog.write)
+                       metrics_hook=mlog.write, opt_state=opt_state)
     return ts
 
 
