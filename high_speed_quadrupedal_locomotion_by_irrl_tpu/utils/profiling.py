@@ -62,9 +62,18 @@ def enable_compile_cache(path: str = ".jax_cache",
     The batch-in-lanes physics path (envs.blackpanther.step_batch) trades a
     very long first compile (~40 min for the 8-substep scan on a v5e) for
     ~4x runtime; with this cache the compile is paid once per
-    config/batch-shape and reloaded in seconds afterwards."""
+    config/batch-shape and reloaded in seconds afterwards.
+
+    IRRL_CACHE_DIR overrides the location: the pytest conftest points it at
+    a suite-private dir so CPU test compiles never write the production
+    cache concurrently with live TPU jobs (a same-dir concurrent write
+    segfaulted inside jax's cache serializer during the round-3 slow-suite
+    run — see docs/evidence/pytest_slow_r3.log history)."""
+    import os
+
     import jax
 
+    path = os.environ.get("IRRL_CACHE_DIR", path)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)

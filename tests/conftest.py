@@ -13,6 +13,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# suite-private compile cache: CLI entry points under test call
+# utils.profiling.enable_compile_cache(), and tests must never write the
+# production .jax_cache concurrently with live TPU jobs (observed segfault
+# in jax's cache serializer under concurrent same-dir writes)
+os.environ.setdefault("IRRL_CACHE_DIR", ".jax_cache_tests")
 
 import jax  # noqa: E402
 
