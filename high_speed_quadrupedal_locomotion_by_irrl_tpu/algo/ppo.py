@@ -89,10 +89,20 @@ class EpStats(NamedTuple):
 
 
 def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(cfg.learning_rate, eps=1e-5),
-    )
+    """Adam(eps=1e-5) + global-norm clip (ppo2.py:190-197 semantics).
+
+    The learning rate rides in the optimizer STATE (inject_hyperparams), not
+    as a graph constant: the IRRL workflow's defining move is re-running the
+    same update at a different lr (imitation 1e-3 -> relaxation 5e-4,
+    readme.md:64-75; large-batch rescales), and a baked-in lr forced a full
+    ~25-min XLA recompile of the lanes update per value. With lr traced, one
+    cached executable serves every lr."""
+    def tx(learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(learning_rate, eps=1e-5),
+        )
+    return optax.inject_hyperparams(tx)(learning_rate=cfg.learning_rate)
 
 
 def init_train_state(env_cfg: EnvConfig, ppo_cfg: PPOConfig, key: jax.Array,
@@ -272,7 +282,13 @@ def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
     sound for on-policy PPO."""
     ts = init_train_state(env_cfg, ppo_cfg, key, params)
     if opt_state is not None:
-        ts = ts._replace(opt_state=opt_state)
+        same = (jax.tree_util.tree_structure(opt_state)
+                == jax.tree_util.tree_structure(ts.opt_state))
+        if same:
+            ts = ts._replace(opt_state=opt_state)
+        else:
+            print("resume: checkpoint optimizer state has a different "
+                  "structure (older optimizer layout); starting Adam fresh")
     update_fn = jax.jit(make_update_fn(env_cfg, ppo_cfg))
     batch_size = env_cfg.num_envs * ppo_cfg.n_steps
     n_updates = max(1, total_timesteps // batch_size)
