@@ -3,7 +3,8 @@
 Validates the closed-loop cmd 1-5 numbers after MPC-engine changes (e.g.
 the terminal-knot reference fix: term_fn now tracks refs[T] instead of the
 one-knot-stale refs[T-1]). Prints one line per command; compare against the
-README table (0.92 / 1.87 / 2.88 / 3.92 / 4.68 m/s, zero falls).
+README table (0.93 / 1.86 / 2.88 / 3.94 / 4.66 m/s, zero falls —
+round-3 post-terminal-knot-fix re-measure, scripts/wb_retune.py).
 
 Usage: python scripts/wb_sched_eval.py [n_steps]
 """
