@@ -39,6 +39,7 @@ class PPOConfig:
     """Hyperparameters; defaults = the reference's training run
     (run_bp_v5.py:227-242, ppo2.py:195-196)."""
     learning_rate: float = 1e-3
+    lr_final: Optional[float] = None   # linear anneal target (None = constant)
     gamma: float = 0.99
     lam: float = 0.998
     clip_range: float = 0.2
@@ -103,6 +104,32 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
             optax.adam(learning_rate, eps=1e-5),
         )
     return optax.inject_hyperparams(tx)(learning_rate=cfg.learning_rate)
+
+
+def scheduled_lr(cfg: PPOConfig, frac: float) -> float:
+    """Learning rate at run fraction ``frac`` in [0, 1]: linear anneal from
+    ``learning_rate`` to ``lr_final`` (constant when lr_final is None).
+
+    The reference runs each phase at a fixed lr (readme.md:64-75); at the
+    production batch (1024 envs, 5x fewer updates per step budget) a fixed
+    large-batch-scaled lr collapses entropy late in relaxation, so the fast
+    path anneals instead. Because lr is traced through the optimizer state,
+    the schedule is a host-side scalar write per update — zero recompiles."""
+    if cfg.lr_final is None:
+        return cfg.learning_rate
+    f = min(max(frac, 0.0), 1.0)
+    return cfg.learning_rate + (cfg.lr_final - cfg.learning_rate) * f
+
+
+def with_learning_rate(opt_state, lr: float):
+    """Return ``opt_state`` with the traced learning rate set to ``lr``.
+
+    Clones the stored entry's dtype so the swap never changes the jitted
+    update's signature (a weak-vs-strong f32 mismatch would retrace)."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(float(lr),
+                                      dtype=hp["learning_rate"].dtype)
+    return opt_state._replace(hyperparams=hp)
 
 
 def init_train_state(env_cfg: EnvConfig, ppo_cfg: PPOConfig, key: jax.Array,
@@ -295,12 +322,18 @@ def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
     try:
         for i in range(n_updates):
             t0 = time.time()
+            if ppo_cfg.lr_final is not None:
+                lr_i = scheduled_lr(ppo_cfg, i / max(n_updates - 1, 1))
+                ts = ts._replace(
+                    opt_state=with_learning_rate(ts.opt_state, lr_i))
             ts, metrics = update_fn(ts)
             if verbose or callback or metrics_hook:
                 metrics = {k: float(v) for k, v in
                            jax.tree.map(lambda x: jax.device_get(x), metrics).items()}
                 metrics["fps"] = batch_size / max(time.time() - t0, 1e-9)
                 metrics["timesteps"] = (i + 1) * batch_size
+                if ppo_cfg.lr_final is not None:
+                    metrics["lr"] = lr_i
             if verbose:
                 print(f"update {i + 1}/{n_updates}: " +
                       " ".join(f"{k}={v:.4g}" for k, v in metrics.items()))

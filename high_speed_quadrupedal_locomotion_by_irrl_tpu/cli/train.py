@@ -32,6 +32,9 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description="IRRL-TPU PPO training")
     p.add_argument("--cfg", type=str, default=None, help="environment YAML")
     p.add_argument("--lr", "--l", type=float, default=1e-3, dest="lr")
+    p.add_argument("--lr-final", type=float, default=None,
+                   help="linear-anneal lr to this value over the run "
+                        "(traced through the optimizer state; no recompile)")
     p.add_argument("--max-iter", type=int, default=200_000_000,
                    help="total env steps (reference --max_iter)")
     p.add_argument("--load", type=str, default=None,
@@ -82,7 +85,7 @@ def main(argv=None):
         from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import profiling
         profiling.enable_compile_cache()
         env_cfg = env_cfg.replace(use_lanes_physics=True)
-    ppo_cfg = ppo.PPOConfig(learning_rate=args.lr,
+    ppo_cfg = ppo.PPOConfig(learning_rate=args.lr, lr_final=args.lr_final,
                             n_steps=args.n_steps or env_cfg.episode_len)
     if args.max_updates is not None:
         args.max_iter = args.max_updates * env_cfg.num_envs * ppo_cfg.n_steps
@@ -141,7 +144,12 @@ def _train(args, env_cfg, ppo_cfg, key, params, run_dir, callback, mlog,
         ts = ptrain.shard_train_state(mesh, ts)
         update = ptrain.make_distributed_update(env_cfg, ppo_cfg, mesh)
         batch = env_cfg.num_envs * ppo_cfg.n_steps
-        for i in range(max(1, args.max_iter // batch)):
+        n_upd = max(1, args.max_iter // batch)
+        for i in range(n_upd):
+            if ppo_cfg.lr_final is not None:
+                ts = ts._replace(opt_state=ppo.with_learning_rate(
+                    ts.opt_state,
+                    ppo.scheduled_lr(ppo_cfg, i / max(n_upd - 1, 1))))
             ts, metrics = update(ts)
             print(f"update {i}: loss={float(metrics['loss']):.4g} "
                   f"rew/step={float(metrics['reward_per_step']):.4g}")

@@ -1,3 +1,4 @@
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,3 +79,30 @@ def test_ppo_loss_zero_advantage_gradient(tiny):
     assert float(aux["approxkl"]) < 1e-9
     assert float(aux["clipfrac"]) == 0.0
     assert abs(float(aux["pg_loss"])) < 1e-6
+
+
+def test_lr_anneal_traced_through_state(tiny):
+    """--lr-final anneal: the lr rides in the optimizer state (traced via
+    inject_hyperparams), so learn() can sweep it per update with ZERO
+    recompiles; scheduled_lr is linear from learning_rate to lr_final."""
+    env_cfg, base = tiny
+    ppo_cfg = dataclasses.replace(base, learning_rate=1e-3, lr_final=1e-4)
+    # schedule endpoints + midpoint
+    assert ppo.scheduled_lr(ppo_cfg, 0.0) == pytest.approx(1e-3)
+    assert ppo.scheduled_lr(ppo_cfg, 1.0) == pytest.approx(1e-4)
+    assert ppo.scheduled_lr(ppo_cfg, 0.5) == pytest.approx(5.5e-4)
+    # with_learning_rate keeps the jit signature: same treedef + same aval
+    ts = ppo.init_train_state(env_cfg, ppo_cfg, jax.random.PRNGKey(0))
+    os2 = ppo.with_learning_rate(ts.opt_state, 5.5e-4)
+    assert (jax.tree_util.tree_structure(os2)
+            == jax.tree_util.tree_structure(ts.opt_state))
+    a0 = jax.api_util.shaped_abstractify(ts.opt_state.hyperparams["learning_rate"])
+    a1 = jax.api_util.shaped_abstractify(os2.hyperparams["learning_rate"])
+    assert a0 == a1
+    # the injected value actually drives the update: lr=0 must freeze params
+    update = jax.jit(ppo.make_update_fn(env_cfg, ppo_cfg))
+    ts_frozen, _ = update(ts._replace(
+        opt_state=ppo.with_learning_rate(ts.opt_state, 0.0)))
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     ts.params, ts_frozen.params)
+    assert max(jax.tree.leaves(d)) == 0.0
