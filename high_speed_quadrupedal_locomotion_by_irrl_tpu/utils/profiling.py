@@ -65,10 +65,11 @@ def enable_compile_cache(path: str = ".jax_cache",
     config/batch-shape and reloaded in seconds afterwards.
 
     IRRL_CACHE_DIR overrides the location: the pytest conftest points it at
-    a suite-private dir so CPU test compiles never write the production
-    cache concurrently with live TPU jobs (a same-dir concurrent write
-    segfaulted inside jax's cache serializer during the round-3 slow-suite
-    run — see docs/evidence/pytest_slow_r3.log history)."""
+    a suite-private dir AND disables persistent-cache writes entirely —
+    serializing the receding-horizon MPC executable on the CPU backend
+    segfaults in jax's cache serializer (deterministic, reproduced at
+    isolated cache dirs; TPU-backend writes from the production jobs are
+    unaffected)."""
     import os
 
     import jax

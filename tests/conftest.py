@@ -13,15 +13,19 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-# suite-private compile cache: CLI entry points under test call
-# utils.profiling.enable_compile_cache(), and tests must never write the
-# production .jax_cache concurrently with live TPU jobs (observed segfault
-# in jax's cache serializer under concurrent same-dir writes)
+# suite-private compile cache dir, kept away from the production .jax_cache
+# (CLI entry points under test call utils.profiling.enable_compile_cache())
 os.environ.setdefault("IRRL_CACHE_DIR", ".jax_cache_tests")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent-cache WRITES are disabled outright for the suite: serializing
+# the receding-horizon MPC executable on the CPU backend segfaults inside
+# jax's cache serializer (deterministic, test_srb::test_receding_horizon_
+# mpc_trots, reproduced twice at isolated cache dirs — so NOT write
+# contention). Tests recompile every run anyway; correctness needs no cache.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
