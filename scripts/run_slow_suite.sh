@@ -1,0 +1,26 @@
+#!/bin/bash
+# Chunked slow-suite runner: one pytest process per test FILE.
+#
+# Why: the XLA CPU compiler in this image segfaults intermittently when one
+# long-lived process compiles many of the huge receding-horizon MPC graphs
+# back to back (observed twice at different tests — once in the
+# persistent-cache serializer, once inside backend_compile_and_load after
+# ~53 green tests). Per-file processes bound the blast radius: a crash
+# fails ONE file visibly instead of killing the whole run, and each file
+# can be re-run alone.
+#
+# Usage: bash scripts/run_slow_suite.sh [logfile]
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/pytest_slow_chunks.log}
+: > "$LOG"
+overall=0
+for f in tests/test_*.py; do
+    echo "=== $f start $(date) ===" >> "$LOG"
+    python -m pytest "$f" -m slow -q -p no:cacheprovider >> "$LOG" 2>&1
+    rc=$?
+    [ $rc -eq 5 ] && rc=0    # rc 5 = no slow tests in this file
+    echo "=== $f rc=$rc $(date) ===" >> "$LOG"
+    [ $rc -ne 0 ] && overall=1
+done
+echo "SLOW SUITE OVERALL rc=$overall" >> "$LOG"
+exit $overall
