@@ -4,7 +4,7 @@ Cold-start batch solves (scripts/bench_ilqr_vmap.py: 8 iterations, h50, from
 a joint-reference guess) measure the wrong workload for the whole-body
 engine: deployed MPC is receding-horizon — each control step warm-starts
 from the previous plan and needs only 1-2 iterations at a short horizon
-(runtime.wb_mpc_rollout, h16/it2: 0.92-4.68 m/s closed loop, zero falls).
+(runtime.wb_mpc_rollout, h16/it2: 0.93-4.66 m/s closed loop post terminal-knot re-tune, zero falls).
 This benches a FLEET of those loops (runtime.wb_mpc_rollout_batch): one
 chip serving B robots' MPC controllers in lock-step, reporting sustained
 solves/s = B x steps / wall.
