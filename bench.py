@@ -155,7 +155,8 @@ def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
     # jacfwd graph where the FD lanes sweep was compile-bound
     # frozen-operator linearizer on BOTH paths: measured cost-neutral vs the
     # jacfwd/FD sweep (805.7 vs 802.4 mean cost at batch 64/h50, +0.4%) and
-    # 1.4x faster on the vmap path (runs/ilqr_vmap.log)
+    # 1.4x faster on the vmap path (round-2 measurement; the runs/ log was
+    # wiped by a machine reset — record preserved in commit db56a6f)
     mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=n_iter, model_substeps=2,
                              linearize_chunk=chunk,
                              linearizer="frozen")

@@ -61,8 +61,9 @@ def speed_schedule(cfg: EnvConfig, vx: float):
     frequency and duty factor follow the commanded speed — every fast
     quadruped stack does this because one gait clock cannot cover 1-5 m/s).
 
-    Encodes the round-2 measured schedule (scripts/mpc45.py + mpc45b.py,
-    runs/mpc45*.log): defaults to high_speed_setup below 3.5 m/s (2.93 m/s
+    Encodes the round-2 measured schedule (scripts/mpc45.py + mpc45b.py;
+    the runs/ logs were wiped by a machine reset — results preserved in
+    commit 406f253): defaults to high_speed_setup below 3.5 m/s (2.93 m/s
     zero-fall at cmd 3); T=0.12 s / lam=0.42 at cmd 4 (2.94); T=0.12 /
     lam=0.35 — a flight-phase trot — at cmd 5 (3.19). Zero falls at every
     command.
@@ -80,7 +81,7 @@ def wb_speed_schedule(cfg: EnvConfig, vx: float):
     """Speed-scheduled whole-body receding-horizon iLQR configuration.
 
     Encodes the round-3 re-measured schedule (scripts/wb_retune.py,
-    runs/wb_retune.log — re-tuned after the terminal-knot fix shifted the
+    docs/evidence/wb_retune_r3.log — re-tuned after the terminal-knot fix shifted the
     cost landscape and broke the old cmd-4 T=0.20 point to 0.88 m/s with
     falls): T=0.20 below 2.5 m/s, T=0.14 from cmd 3 up (the cmd-3
     transition-regime dip at T=0.20 mirrors the zone the reference's own

@@ -1,7 +1,8 @@
 """Whole-body iLQR on the per-problem vmap path, FD vs frozen linearizer.
 
 The lanes-batched solver's XLA graph is compile-bound on this toolchain
-(chunk-1 frozen at batch 64: >2 h, killed — runs/tpu_queue.log); the vmap
+(chunk-1 frozen at batch 64: >2 h, killed — round-2 queue log, wiped by a
+machine reset; finding preserved in commit db56a6f); the vmap
 path compiles in minutes. Its round-1 cost profile was dominated by the
 49-tangent jacfwd through the full physics per knot — exactly what the
 frozen-operator surrogate (mpc/linearize.py) removes. This measures the

@@ -10,8 +10,12 @@
 # can be re-run alone.
 #
 # Usage: bash scripts/run_slow_suite.sh [logfile]
+#
+# The default log lands in docs/evidence/ (committed), not runs/
+# (gitignored): round 3 lost a full green slow-suite log to a machine
+# reset because it lived only in runs/. Evidence logs must survive.
 cd "$(dirname "$0")/.."
-LOG=${1:-/tmp/pytest_slow_chunks.log}
+LOG=${1:-docs/evidence/pytest_slow_latest.log}
 : > "$LOG"
 overall=0
 for f in tests/test_*.py; do
