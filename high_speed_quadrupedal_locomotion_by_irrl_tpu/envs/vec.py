@@ -18,6 +18,7 @@ import numpy as np
 
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.config import EnvConfig
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
 
 
 class VecEnv:
@@ -151,10 +152,22 @@ class NumpyVecEnv:
         return np.asarray(jax.vmap(bp.nonlinear)(self.state))
 
     def set_contact_coefficient(self, coeff) -> None:
-        """SetContactCoefficient parity: [friction, restitution, threshold]."""
+        """SetContactCoefficient parity: [friction, restitution, threshold]
+        (Environment.hpp:1407-1418). All three are LIVE: restitution re-maps
+        the compliant damping (phys/model.damping_for_restitution) and sets
+        the hard solver's bounce rows; the threshold gates the hard-path
+        bounce (the compliant surrogate maps e alone — documented
+        approximation)."""
         friction = jnp.full((self.num_envs,), float(coeff[0]))
         restitution = jnp.full((self.num_envs,), float(coeff[1]))
-        params = self.state.params._replace(friction=friction, restitution=restitution)
+        threshold = jnp.full((self.num_envs,), float(coeff[2]))
+        damping = mdl.damping_for_restitution(
+            self.state.params.contact_stiffness,
+            jnp.full((self.num_envs,), float(self.cfg.contact_damping)),
+            restitution)
+        params = self.state.params._replace(
+            friction=friction, restitution=restitution,
+            res_threshold=threshold, contact_damping=damping)
         self.state = self.state._replace(params=params)
 
     def set_command(self, command) -> None:

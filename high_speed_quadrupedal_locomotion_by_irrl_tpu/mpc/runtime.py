@@ -25,6 +25,7 @@ from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as b
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
 from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import gait
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import rotation
 
 
 class MPCRolloutLog(NamedTuple):
@@ -161,9 +162,11 @@ class WBMPCRolloutLog(NamedTuple):
     solve_cost: jnp.ndarray  # (T,) iLQR cost of each (warm-started) plan
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps",
+                                             "raibert_gain"))
 def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
-                   key: jax.Array, n_steps: int = 500) -> WBMPCRolloutLog:
+                   key: jax.Array, n_steps: int = 500,
+                   raibert_gain: float = 0.0) -> WBMPCRolloutLog:
     """Closed-loop receding-horizon *whole-body iLQR* control.
 
     The full-dynamics counterpart of :func:`mpc_rollout`: at every control
@@ -174,6 +177,12 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
     problem differs from the last by one control step, so 1-2 iLQR
     iterations (mpc_cfg.n_iter) track the optimum — the classic MPC-iLQR
     deployment pattern (vs. the cold-start batch solves of trot.solve).
+
+    raibert_gain > 0 shifts the whole-horizon gait reference by
+    gain * (v_meas - v_cmd) in the body xy plane (Raibert foothold
+    correction, same mechanism as srb.SRBConfig.raibert_gain — round-4
+    VERDICT item 6 brought it to the whole-body side); 0.0 keeps the
+    legacy unshifted reference graph.
 
     The internal model uses the *nominal* parameters and flat ground — model
     mismatch with the stepped env (DR off here) is the realism this tests.
@@ -198,8 +207,14 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
 
     def scan_fn(carry, _):
         state, us_prev = carry
+        if raibert_gain != 0.0:
+            R = rotation.quat_to_matrix(state.gc[3:7])
+            v_body = R.T @ state.gv[:3]
+            xy_shift = raibert_gain * (v_body[:2] - command[:2])
+        else:
+            xy_shift = None
         prob = trot.make_problem(cfg, state.gc, state.gv, command,
-                                 state.current_time, T)
+                                 state.current_time, T, xy_shift)
 
         def cost_fn(x, u, t):
             return mcost.stage_cost(cfg, w, x, u, prob.joint_refs[t],
@@ -228,9 +243,11 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
     return logs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps",
+                                             "raibert_gain"))
 def wb_mpc_rollout_batch(cfg: EnvConfig, mpc_cfg, commands: jnp.ndarray,
-                         keys: jax.Array, n_steps: int = 500) -> WBMPCRolloutLog:
+                         keys: jax.Array, n_steps: int = 500,
+                         raibert_gain: float = 0.0) -> WBMPCRolloutLog:
     """A *fleet* of whole-body receding-horizon controllers in one program.
 
     vmaps the per-step (warm-started iLQR solve + env step) of
@@ -265,8 +282,14 @@ def wb_mpc_rollout_batch(cfg: EnvConfig, mpc_cfg, commands: jnp.ndarray,
     u0 = jnp.zeros((B, T, 12))
 
     def one_step(state, us_prev, command):
+        if raibert_gain != 0.0:
+            R = rotation.quat_to_matrix(state.gc[3:7])
+            v_body = R.T @ state.gv[:3]
+            xy_shift = raibert_gain * (v_body[:2] - command[:2])
+        else:
+            xy_shift = None
         prob = trot.make_problem(cfg, state.gc, state.gv, command,
-                                 state.current_time, T)
+                                 state.current_time, T, xy_shift)
 
         def cost_fn(x, u, t):
             return mcost.stage_cost(cfg, w, x, u, prob.joint_refs[t],

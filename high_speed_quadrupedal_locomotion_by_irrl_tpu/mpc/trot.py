@@ -65,9 +65,15 @@ class TrotProblem(NamedTuple):
 
 
 def make_problem(cfg: EnvConfig, gc: jnp.ndarray, gv: jnp.ndarray,
-                 command: jnp.ndarray, t0: jnp.ndarray, horizon: int) -> TrotProblem:
+                 command: jnp.ndarray, t0: jnp.ndarray, horizon: int,
+                 xy_shift: jnp.ndarray | None = None) -> TrotProblem:
+    """xy_shift: optional (2,) Raibert foothold correction applied to the
+    whole-horizon gait reference (robot.gait.gait_reference) — the same
+    correction the SRB engine plans with (srb.SRBConfig.raibert_gain);
+    None keeps the reference unshifted (bit-exact legacy graphs)."""
     ts = t0 + jnp.arange(horizon + 1) * cfg.control_dt
-    refs = jax.vmap(lambda t: gait.gait_reference(cfg, command, t).joint_ref)(ts)
+    refs = jax.vmap(lambda t: gait.gait_reference(
+        cfg, command, t, xy_shift).joint_ref)(ts)
     jd = (refs[1:] - refs[:-1]) / cfg.control_dt
     return TrotProblem(x0=jnp.concatenate([gc, gv]), command=command, t0=t0,
                        joint_refs=refs[:-1], joint_dot_refs=jd,

@@ -285,7 +285,9 @@ def substep_hard(params: RobotParams, gc: jnp.ndarray, gv: jnp.ndarray,
     J = hc.toe_jacobians(kin)
     gap, basis = hc.contact_frames(tp, kin.toe_pos)
     sol = hc.solve_impulses(M, J, gv_free, gap, basis, params.friction, dt,
-                            n_iter, lam0=lam0, chol=L)
+                            n_iter, lam0=lam0, chol=L,
+                            restitution=params.restitution,
+                            res_threshold=params.res_threshold)
     gc2, gv2 = integrate(gc, gv, (sol.gv_plus - gv) / dt, dt)
     lam_norm = jnp.linalg.norm(sol.lam, axis=-1) / dt
     diag = StepDiagnostics(toe_pos=kin.toe_pos, toe_vel=sol.toe_vel_plus,

@@ -96,7 +96,8 @@ def solve_impulses(M: jnp.ndarray, J: jnp.ndarray, gv_free: jnp.ndarray,
                    gap: jnp.ndarray, basis: jnp.ndarray, mu: jnp.ndarray,
                    dt: float, n_iter: int = 12,
                    lam0: jnp.ndarray | None = None,
-                   chol: jnp.ndarray | None = None) -> ContactSolution:
+                   chol: jnp.ndarray | None = None,
+                   restitution=0.0, res_threshold=0.0) -> ContactSolution:
     """Projected Gauss-Seidel over the 4 toe contacts.
 
     M (18,18), J (4,3,18) world point Jacobians, gv_free post-smooth-forces
@@ -105,7 +106,13 @@ def solve_impulses(M: jnp.ndarray, J: jnp.ndarray, gv_free: jnp.ndarray,
     persist across the 0.25 ms substeps, so this buys most of PGS's
     convergence for free; the standard velocity-stepping trick).
     chol: optional precomputed lower Cholesky factor of M (the caller
-    already factorizes M for the free-velocity solve; reuse it here)."""
+    already factorizes M for the free-velocity solve; reuse it here).
+    restitution/res_threshold: Raisim material semantics
+    (SetContactCoefficient, Environment.hpp:1407-1418): a contact whose
+    pre-impulse approach speed |vn-| exceeds the threshold gets a desired
+    outgoing normal velocity of e*|vn-| (Newton restitution) — the normal
+    complementarity row then targets max(ERP push-out, e*|vn-|). e=0
+    reproduces the inelastic rows verbatim."""
     # local-frame Jacobians: rows express contact-point velocity in [n,t1,t2]
     Jl = jnp.einsum("cki,ckd->cid", basis, J).reshape(12, 18)
     # M^-1 J^T via the unrolled-Cholesky solve (one factorization, 12-wide
@@ -119,6 +126,12 @@ def solve_impulses(M: jnp.ndarray, J: jnp.ndarray, gv_free: jnp.ndarray,
     v0 = (Jl @ gv_free).reshape(4, 3)
     active = (gap < 0.0)
     v_des = jnp.minimum(ERP * jnp.maximum(-gap - SLOP, 0.0) / dt, V_PUSH_MAX)
+    # Newton restitution: approach speed above the material threshold bounces
+    # at e*|vn-| (phys of Raisim's setDefaultMaterial third parameter)
+    vn_approach = jnp.maximum(-v0[:, 0], 0.0)
+    v_des = jnp.maximum(
+        v_des, restitution * jnp.where(vn_approach > res_threshold,
+                                       vn_approach, 0.0))
 
     # diagonal preconditioners per contact block
     Gd = jnp.diagonal(G).reshape(4, 3)

@@ -71,6 +71,12 @@ KNEE_RATIO = 1.55                                      # torque_clamp, Environme
 
 SHANK_BODY_IDX = np.array([3, 6, 9, 12])  # bodies carrying the toe spheres
 
+# Toe-normal effective (Delassus) mass at the stand pose: 1/(J M^-1 J^T)_nn
+# evaluated with phys/dynamics + hard_contact.toe_jacobians — measured
+# 0.4699/0.4690 kg front/hind. Used by damping_for_restitution to convert a
+# coefficient of restitution into the equivalent linear contact damping.
+TOE_EFF_MASS = 0.47
+
 # Stand pose = action mean (Environment.hpp:317-322, abad_=0 default).
 STAND_JOINT_POS = np.array([0.0, -0.78, 1.57] * 4)
 STAND_BASE_Z = 0.35
@@ -146,16 +152,45 @@ class RobotParams(NamedTuple):
     inertia: jnp.ndarray        # (13, 3, 3) about com, body frame
     joint_origin: jnp.ndarray   # (12, 3) in parent frame (knee z carries calf DR)
     friction: jnp.ndarray       # () ground Coulomb friction
-    restitution: jnp.ndarray    # () kept for API parity; compliant model maps it
+    restitution: jnp.ndarray    # () coefficient of restitution — LIVE in both
+                                # contact models (hard: bounce rows in the PGS
+                                # v_des; compliant: damping_for_restitution)
+    res_threshold: jnp.ndarray  # () restitution velocity threshold [m/s]: no
+                                # bounce below it (Raisim material semantics,
+                                # SetContactCoefficient Environment.hpp:1407-1418)
     contact_stiffness: jnp.ndarray  # ()
-    contact_damping: jnp.ndarray    # ()
+    contact_damping: jnp.ndarray    # () already restitution-mapped (see below)
+
+
+def damping_for_restitution(kn, d0, e):
+    """Linear contact damping realizing coefficient of restitution ``e``.
+
+    For a linear spring-damper impact (mass m, stiffness kn, damping d) the
+    rebound ratio is e = exp(-pi*zeta/sqrt(1-zeta^2)) with
+    zeta = d / (2*sqrt(kn*m)); inverting, zeta(e) = -ln e / sqrt(pi^2+ln^2 e).
+    m is TOE_EFF_MASS (the measured toe-normal Delassus mass at stand).
+
+    Anchoring: e = 0 keeps the configured base damping d0 verbatim (today's
+    calibrated overdamped contact: d0=1000 gives zeta ~ 4.2 >> 1, i.e. e ~ 0
+    already), and any e > 0 lowers damping to min(d0, d(e)) so the commanded
+    bounce is actually produced. This is how the compliant surrogate makes
+    the reference's restitution material parameter physically live
+    (Raisim honors it in its hard solver; Environment.hpp:433 default
+    material is (0.6, 0.2, 0.01))."""
+    e = jnp.clip(jnp.asarray(e, jnp.float64 if jnp.asarray(d0).dtype == jnp.float64
+                 else jnp.float32), 0.0, 1.0)
+    ln_e = jnp.log(jnp.maximum(e, 1e-6))
+    zeta = -ln_e / jnp.sqrt(jnp.pi ** 2 + ln_e ** 2)
+    d_e = 2.0 * zeta * jnp.sqrt(kn * TOE_EFF_MASS)
+    return jnp.where(e > 1e-3, jnp.minimum(d0, d_e), d0)
 
 
 def nominal_params(cfg=None) -> RobotParams:
     kn = 30000.0 if cfg is None else cfg.contact_stiffness
     dn = 1000.0 if cfg is None else cfg.contact_damping
     mu = 0.6 if cfg is None else cfg.contact_friction
-    rest = 0.2 if cfg is None else cfg.contact_restitution
+    rest = 0.0 if cfg is None else cfg.contact_restitution
+    thresh = 0.01 if cfg is None else cfg.contact_res_threshold
     return RobotParams(
         mass=jnp.asarray(_MASS),
         com=jnp.asarray(_COM),
@@ -163,21 +198,26 @@ def nominal_params(cfg=None) -> RobotParams:
         joint_origin=jnp.asarray(_JORIGIN),
         friction=jnp.asarray(mu),
         restitution=jnp.asarray(rest),
+        res_threshold=jnp.asarray(thresh),
         contact_stiffness=jnp.asarray(kn),
-        contact_damping=jnp.asarray(dn),
+        contact_damping=damping_for_restitution(
+            jnp.asarray(kn), jnp.asarray(dn), rest),
     )
 
 
 def randomize(key: jax.Array, cfg) -> RobotParams:
     """Domain-randomized params (Environment.hpp:435-477 semantics).
 
-    friction ~ U(0.4, 1.0), restitution ~ U(0, 0.3) (drawn like
-    world_->setDefaultMaterial(rand*0.6+0.4, rand*0.3, rand*2.0));
-    per-link mass * U(1 +- mass_disturbance_ratio); com + U(+-com_disturbance);
-    calf length (knee joint z) + one shared U(+-calf_disturbance).
+    friction ~ U(0.4, 1.0), restitution ~ U(0, 0.3), restitution threshold
+    ~ U(0, 2.0) (drawn like world_->setDefaultMaterial(rand*0.6+0.4,
+    rand*0.3, rand*2.0), Environment.hpp:440); the restitution draw is LIVE:
+    it sets the hard-contact bounce rows and re-maps the compliant damping
+    (damping_for_restitution). Per-link mass * U(1 +- mass_disturbance_ratio);
+    com + U(+-com_disturbance); calf length (knee joint z) + one shared
+    U(+-calf_disturbance).
     """
     p = nominal_params(cfg)
-    k = jax.random.split(key, 5)
+    k = jax.random.split(key, 6)
     mass = p.mass * (1.0 + jax.random.uniform(k[0], (NUM_BODIES,), minval=-1.0, maxval=1.0)
                      * cfg.mass_disturbance_ratio)
     com = p.com + jax.random.uniform(k[1], (NUM_BODIES, 3), minval=-1.0, maxval=1.0) * cfg.com_disturbance
@@ -186,8 +226,13 @@ def randomize(key: jax.Array, cfg) -> RobotParams:
     joint_origin = p.joint_origin + knee_mask * dcalf
     friction = jax.random.uniform(k[3], (), minval=0.4, maxval=1.0)
     restitution = jax.random.uniform(k[4], (), minval=0.0, maxval=0.3)
+    res_threshold = jax.random.uniform(k[5], (), minval=0.0, maxval=2.0)
     return p._replace(mass=mass, com=com, joint_origin=joint_origin,
-                      friction=friction, restitution=restitution)
+                      friction=friction, restitution=restitution,
+                      res_threshold=res_threshold,
+                      contact_damping=damping_for_restitution(
+                          p.contact_stiffness, jnp.asarray(cfg.contact_damping),
+                          restitution))
 
 
 # Static (non-randomized) arrays exported for the dynamics kernels.

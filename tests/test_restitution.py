@@ -1,0 +1,178 @@
+"""Restitution is physically LIVE in both contact models (round-4 VERDICT
+item 4): the hard solver bounces at e*|vn-| above the material threshold
+(Raisim's SetContactCoefficient semantics, Environment.hpp:1407-1418 /
+setDefaultMaterial :433), the compliant surrogate realizes e through
+damping_for_restitution. e=0 must reproduce the previous (overdamped,
+restitution-dead) behavior verbatim."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import contact as ct
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import dynamics as dyn
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import hard_contact as hc
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import terrain as tr
+
+
+def test_damping_map_anchors():
+    """e=0 keeps the configured base damping verbatim (bit-exact legacy
+    behavior); the map is monotone decreasing; e=1 is undamped (elastic)."""
+    kn, d0 = jnp.asarray(30000.0), jnp.asarray(1000.0)
+    assert float(mdl.damping_for_restitution(kn, d0, 0.0)) == 1000.0
+    es = np.linspace(0.05, 1.0, 20)
+    ds = [float(mdl.damping_for_restitution(kn, d0, e)) for e in es]
+    assert all(a >= b for a, b in zip(ds, ds[1:]))
+    assert ds[-1] < 1.0  # e=1 -> zeta=0 -> no damping
+    # nominal_params at the config default (e=0) keeps d0
+    p = mdl.nominal_params(config.test_default())
+    assert float(p.contact_damping) == float(config.test_default().contact_damping)
+
+
+def _drop_rebound_compliant(e: float, h0: float = 0.05) -> float:
+    """Point mass TOE_EFF_MASS dropped from h0 onto the compliant contact;
+    returns measured restitution sqrt(apex_height / h0)."""
+    m, dt = mdl.TOE_EFF_MASS, 2.5e-4
+    kn = jnp.asarray(30000.0)
+    dn = mdl.damping_for_restitution(kn, jnp.asarray(1000.0), e)
+    tp = tr.flat()
+
+    def sub(carry, _):
+        z, vz = carry
+        pos = jnp.array([0.0, 0.0, z])
+        vel = jnp.array([0.0, 0.0, vz])
+        f, _ = ct.point_contact_force(pos, vel, mdl.TOE_RADIUS, tp,
+                                      kn, dn, 0.6, 0.1)
+        vz2 = vz + dt * (f[2] / m - 9.81)
+        return (z + dt * vz2, vz2), z
+
+    (_, _), zs = jax.lax.scan(sub, (mdl.TOE_RADIUS + h0, 0.0), None,
+                              length=4000)
+    zs = np.asarray(zs)
+    # apex after the first contact phase ends (first airborne sample
+    # following the first penetrating sample)
+    inc = np.nonzero(zs < mdl.TOE_RADIUS)[0]
+    assert inc.size, "never touched down"
+    after = zs[inc[0]:]
+    out = np.nonzero(after >= mdl.TOE_RADIUS)[0]
+    if out.size == 0:
+        return 0.0
+    apex = float(after[out[0]:].max()) - mdl.TOE_RADIUS
+    return float(np.sqrt(max(apex, 0.0) / h0))
+
+
+def test_compliant_drop_bounce_tracks_e():
+    got = {e: _drop_rebound_compliant(e) for e in (0.0, 0.3, 0.6, 0.9)}
+    assert got[0.0] < 0.06, got                 # overdamped legacy: no bounce
+    assert got[0.3] > 0.15 and got[0.6] > got[0.3] and got[0.9] > got[0.6], got
+    for e in (0.3, 0.6, 0.9):
+        assert abs(got[e] - e) < 0.15, got      # linear-impact law accuracy
+
+
+def _one_contact_setup():
+    M = jnp.eye(18)
+    J = jnp.zeros((4, 3, 18))
+    for c in range(4):
+        J = J.at[c, 0, 3 * c].set(1.0).at[c, 1, 3 * c + 1].set(1.0)
+        J = J.at[c, 2, 3 * c + 2].set(1.0)
+    n = jnp.array([0.0, 0.0, 1.0])
+    t1 = jnp.array([1.0, 0.0, 0.0])
+    t2 = jnp.array([0.0, 1.0, 0.0])
+    basis = jnp.broadcast_to(jnp.stack([n, t1, t2], axis=-1), (4, 3, 3))
+    # world rows of J[c] are (x, y, z) of dofs 3c..3c+2; express locally:
+    # local normal row must pick the world z row -> reorder J rows to x,y,z
+    gap = jnp.array([-1e-3, 1.0, 1.0, 1.0])    # only contact 0 active
+    return M, J, gap, basis
+
+
+def test_hard_bounce_newton_restitution():
+    """Approach 1 m/s on a unit-mass contact: post-impulse normal velocity
+    must equal e (above threshold) and ~0 below threshold."""
+    M, J, gap, basis = _one_contact_setup()
+    dt = 2.5e-4
+    gv_free = jnp.zeros(18).at[2].set(-1.0)    # contact-0 normal dof
+    for e in (0.0, 0.25, 0.5, 0.9):
+        sol = hc.solve_impulses(M, J, gv_free, gap, basis, 0.6, dt,
+                                n_iter=8, restitution=e, res_threshold=0.01)
+        # flat ground: the contact normal is world z, J[0] row 2 -> dof 2
+        vn_plus = float(np.asarray(sol.toe_vel_plus)[0, 2])
+        np.testing.assert_allclose(vn_plus, e, atol=1e-5)
+    # threshold gates the bounce: approach 1 m/s < threshold 2 m/s -> inelastic
+    sol = hc.solve_impulses(M, J, gv_free, gap, basis, 0.6, dt,
+                            n_iter=8, restitution=0.9, res_threshold=2.0)
+    assert abs(float(np.asarray(sol.toe_vel_plus)[0, 2])) < 1e-5
+
+
+def test_randomized_restitution_is_live():
+    """The DR restitution draw must change the compliant damping (it was a
+    dead knob before round 4) and populate the threshold."""
+    cfg = config.train_default()
+    p = mdl.randomize(jax.random.PRNGKey(3), cfg)
+    e = float(p.restitution)
+    assert 0.0 <= e <= 0.3 and 0.0 <= float(p.res_threshold) <= 2.0
+    want = float(mdl.damping_for_restitution(
+        p.contact_stiffness, jnp.asarray(cfg.contact_damping), p.restitution))
+    assert float(p.contact_damping) == pytest.approx(want)
+    if e > 1e-3:
+        assert float(p.contact_damping) < cfg.contact_damping
+
+
+def test_set_contact_coefficient_changes_physics():
+    """SetContactCoefficient([f, e, t]) parity made real: the vectorized-env
+    override updates friction, restitution, threshold AND the mapped
+    compliant damping — and the contact force actually changes."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import vec
+
+    cfg = config.test_default().replace(num_envs=2)
+    env = vec.NumpyVecEnv(cfg, seed=0)
+    env.reset()
+    env.set_contact_coefficient([0.8, 0.5, 0.01])
+    p = env.state.params
+    np.testing.assert_allclose(np.asarray(p.friction), 0.8)
+    np.testing.assert_allclose(np.asarray(p.restitution), 0.5)
+    np.testing.assert_allclose(np.asarray(p.res_threshold), 0.01)
+    assert float(np.asarray(p.contact_damping)[0]) < cfg.contact_damping
+    # contact-level: an approaching contact produces a different force
+    pos = jnp.array([0.0, 0.0, mdl.TOE_RADIUS - 1e-3])
+    vel = jnp.array([0.0, 0.0, -0.5])
+    f0, _ = ct.point_contact_force(pos, vel, mdl.TOE_RADIUS, tr.flat(),
+                                   30000.0, 1000.0, 0.6, 0.1)
+    f1, _ = ct.point_contact_force(
+        pos, vel, mdl.TOE_RADIUS, tr.flat(), 30000.0,
+        mdl.damping_for_restitution(jnp.asarray(30000.0),
+                                    jnp.asarray(1000.0), 0.5), 0.6, 0.1)
+    assert abs(float(f1[2]) - float(f0[2])) > 1.0
+
+
+@pytest.mark.slow
+def test_robot_drop_rebounds_harder_with_restitution():
+    """Full-robot drop under the hard solver: e=0.9 rebounds the base
+    visibly higher than e=0 (PD holding the stand pose throughout)."""
+    cfg = config.test_default().replace(terrain=False, crucial=False)
+
+    def drop(e):
+        params = mdl.nominal_params(cfg)._replace(
+            restitution=jnp.asarray(e), res_threshold=jnp.asarray(0.01))
+        gc0 = mdl.stand_gc(cfg.abad).at[2].set(0.45)
+        q_ref = gc0[7:]
+        kp, kd = cfg.stiffness, cfg.damping
+        dt = cfg.simulation_dt
+
+        def sub(carry, _):
+            gc, gv, lam = carry
+            tau = kp * (q_ref - gc[7:]) - kd * gv[6:]
+            gc2, gv2, _, lam2 = dyn.substep_hard(
+                params, gc, gv, tau, jnp.zeros(6), tr.flat(), dt, lam0=lam)
+            return (gc2, gv2, lam2), gc2[2]
+
+        (_, _, _), zs = jax.lax.scan(
+            sub, (gc0, jnp.zeros(18), jnp.zeros((4, 3))), None, length=3000)
+        zs = np.asarray(zs)
+        touchdown = np.argmin(zs)
+        return float(zs[touchdown:].max()) - float(zs[touchdown])
+
+    r0, r9 = drop(0.0), drop(0.9)
+    assert r9 > r0 + 0.01, (r0, r9)
