@@ -91,6 +91,8 @@ class NumpyVecEnv:
     def step(self, action: np.ndarray, visualize: bool = False):
         out = self.env.step(self.state, jnp.asarray(action))
         self.state = out.state
+        if getattr(self, "_video_gc", None) is not None:
+            self._video_gc.append(np.asarray(out.state.gc[0]))
         reward = np.asarray(out.reward)
         done = np.asarray(out.done)
         info = [{} for _ in range(self.num_envs)]
@@ -137,10 +139,25 @@ class NumpyVecEnv:
         pass
 
     def start_recording_video(self, name: str = ""):
-        self._video_frames = []
+        """Begin capturing env-0 states each step; stop_recording_video
+        renders them with the same writer behind `cli/test --vid`
+        (analysis/figures.rollout_animation). Mirrors the reference's
+        startRecordingVideo(name) which records env 0's render window
+        (RaisimGymEnv.hpp:88-94, RaisimGymVecEnv.py:121-125)."""
+        self._video_path = name or "video.gif"
+        self._video_gc = []
 
     def stop_recording_video(self):
-        pass
+        gcs = getattr(self, "_video_gc", None)
+        self._video_gc = None
+        if gcs:
+            import types
+
+            from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import (
+                figures,
+            )
+            figures.rollout_animation(
+                types.SimpleNamespace(gc=np.stack(gcs)), self._video_path)
 
     def curriculum_update(self):
         pass

