@@ -52,7 +52,12 @@ def main():
     t0 = time.time()
     for _ in range(n_updates):
         ts, m = update(ts)
-    jax.block_until_ready(m["loss"])
+        # block EVERY update: blocking only on the last loss has produced
+        # physically impossible rates on a warm cache (509M steps/s observed
+        # round 4, 289M round 2) — the same async-dispatch anomaly bench.py's
+        # plausibility ceilings exist for. The official number is bench.py's
+        # guarded measurement; this print is operator feedback only.
+        jax.block_until_ready(m["loss"])
     dt = (time.time() - t0) / n_updates
     print(f"{mode} envs={num_envs}: {batch/dt:.0f} env-steps/s "
           f"({dt*1e3:.0f} ms/update, batch {batch})", flush=True)
