@@ -60,7 +60,10 @@ def main():
                                                    jnp.asarray(gc[:, 1])))
         R = np.asarray(jax.vmap(quat_to_matrix)(jnp.asarray(gc[:, 3:7])))
         rzz = R[:, 2, 2]
-        vb = ev.body_velocity(log)[:, 0]
+        # terrain policies train with WILDCAT vx mirroring (the config sets
+        # WILDCAT: True): forward progress is -x, like hard_contact_eval
+        sign = -1.0 if cfg.wildcat else 1.0
+        vb = sign * ev.body_velocity(log)[:, 0]
         idx = np.nonzero(done)[0]
         # termination state = the step BEFORE the auto-reset wrote new gc
         cause = {"z_low": 0, "z_high": 0, "posture": 0}
