@@ -206,6 +206,13 @@ _YAML_KEYS: Mapping[str, str] = {
     "MotorDynamics": "motor_dynamics", "ObsFilter": "obs_filter", "WILDCAT": "wildcat",
     "ForceDisturbance": "force_disturbance", "Convert2Torque": "convert2torque",
     "HardContact": "hard_contact",  # extension key (no reference equivalent)
+    # extension keys for the contact material (the reference sets materials
+    # in C++ — setDefaultMaterial(0.6, 0.2, 0.01), Environment.hpp:433 — and
+    # at runtime via SetContactCoefficient; these make the same triple
+    # drivable from YAML, restitution-live since round 4)
+    "ContactFriction": "contact_friction",
+    "ContactRestitution": "contact_restitution",
+    "ContactResThreshold": "contact_res_threshold",
     "terminalRewardCoeff": "terminal_reward", "EndEffectorRewardCoeff": "ee_coeff",
     "BodyPosRewardCoeff": "body_pos_coeff", "BodyAttitudeRewardCoeff": "body_atti_coeff",
     "JointRewardCoeff": "joint_mimic_coeff", "VelRewardCoeff": "vel_keep_coeff",
