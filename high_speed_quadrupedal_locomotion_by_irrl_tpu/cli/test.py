@@ -91,6 +91,12 @@ def parse_args(argv):
     p.add_argument("--dump-info", type=str, default=None, metavar="OUT.csv",
                    help="dump the rollout in the reference's info-CSV format "
                         "(consumable by Data_Visualization_Code/Figure2.py)")
+    p.add_argument("--material", type=str, default=None, metavar="F,E,T",
+                   help="contact material triple friction,restitution,"
+                        "threshold applied before any mode runs — the "
+                        "reference's test path calls SetContactCoefficient("
+                        "[0.8,0.2,0.01]) before eval (run_bp_v5.py:317, "
+                        "Environment.hpp:1407-1418)")
     return p.parse_args(argv)
 
 
@@ -159,6 +165,10 @@ def interactive(cfg, params, n_steps: int, serve_port=None, realtime=False,
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
     cfg = cfg_mod.from_yaml(args.cfg) if args.cfg else cfg_mod.test_default()
+    if args.material is not None:
+        f, e, t = (float(x) for x in args.material.split(","))
+        cfg = cfg.replace(contact_friction=f, contact_restitution=e,
+                          contact_res_threshold=t)
     if os.path.isdir(args.model):
         params = mio.load_bp5_csv(args.model)
     else:

@@ -149,8 +149,16 @@ def test_set_contact_coefficient_changes_physics():
 
 @pytest.mark.slow
 def test_robot_drop_rebounds_harder_with_restitution():
-    """Full-robot drop under the hard solver: e=0.9 rebounds the base
-    visibly higher than e=0 (PD holding the stand pose throughout)."""
+    """Full-robot drop under the hard solver: at e=0.9 the TOES rebound at
+    ~e times the approach speed through the full articulated Delassus
+    operator; at e=0 they stick (|vz+| ~ 0).
+
+    The observable is the toe velocity, not the base apex: the toes'
+    effective contact mass (~0.47 kg Delassus) is tiny against the ~9 kg
+    trunk, so Newton restitution at the toes transfers almost no momentum
+    to the base — the base rebound is dominated by the PD leg-springs in
+    both cases (measured: base apex 0.0285 m at e=0 vs 0.0279 m at e=0.9,
+    while toe vz+ is 0.00 vs +1.53 m/s at a 1.69 m/s impact)."""
     cfg = config.test_default().replace(terrain=False, crucial=False)
 
     def drop(e):
@@ -164,18 +172,25 @@ def test_robot_drop_rebounds_harder_with_restitution():
         def sub(carry, _):
             gc, gv, lam = carry
             tau = kp * (q_ref - gc[7:]) - kd * gv[6:]
-            gc2, gv2, _, lam2 = dyn.substep_hard(
+            gc2, gv2, diag, lam2 = dyn.substep_hard(
                 params, gc, gv, tau, jnp.zeros(6), tr.flat(), dt, lam0=lam)
-            return (gc2, gv2, lam2), gc2[2]
+            return (gc2, gv2, lam2), (diag.toe_pos[:, 2], diag.toe_vel[:, 2])
 
-        (_, _, _), zs = jax.lax.scan(
-            sub, (gc0, jnp.zeros(18), jnp.zeros((4, 3))), None, length=3000)
-        zs = np.asarray(zs)
-        touchdown = np.argmin(zs)
-        return float(zs[touchdown:].max()) - float(zs[touchdown])
+        (_, _, _), (toe_z, toe_vz) = jax.lax.scan(
+            sub, (gc0, jnp.zeros(18), jnp.zeros((4, 3))), None, length=1200)
+        toe_z, toe_vz = np.asarray(toe_z), np.asarray(toe_vz)
+        imp = int(np.argmax(toe_z.min(axis=1) < mdl.TOE_RADIUS))
+        assert toe_z.min() < mdl.TOE_RADIUS, "never touched down"
+        approach = float(-toe_vz[max(imp - 2, 0)].mean())
+        # max upward toe velocity in the 10 substeps following first impact
+        vz_plus = float(toe_vz[imp:imp + 10].max())
+        return approach, vz_plus
 
-    r0, r9 = drop(0.0), drop(0.9)
-    assert r9 > r0 + 0.01, (r0, r9)
+    a0, v0 = drop(0.0)
+    a9, v9 = drop(0.9)
+    assert a0 > 1.0 and a9 > 1.0, (a0, a9)          # real impact speeds
+    assert abs(v0) < 0.15, v0                        # e=0: inelastic, sticks
+    assert v9 > 0.7 * 0.9 * a9, (v9, a9)             # e=0.9: Newton bounce
 
 
 @pytest.mark.slow
