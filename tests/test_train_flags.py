@@ -30,3 +30,18 @@ def test_auto_lanes_selection(argv, want_lanes, monkeypatch, tmp_path):
     with pytest.raises(SystemExit):
         tcli.main(argv + ["--max-updates", "1", "--log-dir", str(tmp_path)])
     assert seen["lanes"] == want_lanes
+
+
+def test_material_flag_parses_reference_test_triple():
+    """cli/test --material F,E,T maps to the contact material triple the
+    reference's test path sets before eval (run_bp_v5.py:317
+    SetContactCoefficient([0.8, 0.2, 0.01]))."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.cli import test as ecli
+
+    args = ecli.parse_args(["--model", "x", "--material", "0.8,0.2,0.01"])
+    f, e, t = (float(x) for x in args.material.split(","))
+    assert (f, e, t) == (0.8, 0.2, 0.01)
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+    cfg = config.test_default().replace(
+        contact_friction=f, contact_restitution=e, contact_res_threshold=t)
+    assert cfg.contact_friction == 0.8 and cfg.contact_restitution == 0.2
