@@ -310,6 +310,48 @@ def _bench_env(batch: int, n_steps: int, repeats: int = 3):
     return _measure_rate(once, batch * n_steps, repeats, "env")
 
 
+def _bench_env_lanes(batch: int = 8192, n_steps: int = 100, repeats: int = 3):
+    """Raw env throughput on the batch-in-lanes physics path — the production
+    training path (envs/blackpanther.step_batch). The `env_steps_per_s_per_
+    chip` extra keeps the vmap path for cross-round continuity; this one
+    publishes the lanes number (step_batch docstring: ~4x the vmap substep
+    throughput at batch 8k). Runs as a budget-bounded subprocess (child mode
+    `--extra env_lanes`) like the PPO extra: compile-heavy first time, cheap
+    once the persistent cache is warm."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.envs import blackpanther as bp
+
+    batch = int(os.environ.get("BENCH_ENV_LANES_BATCH", str(batch)))
+    n_steps = int(os.environ.get("BENCH_ENV_LANES_STEPS", str(n_steps)))
+    cfg = config.train_default().replace(num_envs=batch,
+                                         use_lanes_physics=True)
+    state = jax.jit(jax.vmap(lambda k: bp.env_init(cfg, k)))(
+        jax.random.split(jax.random.PRNGKey(0), batch))
+
+    def run(state):
+        def body(s, _):
+            out = bp.step_batch(cfg, s, jnp.zeros((batch, 12)))
+            return out.state, out.reward
+        s2, rews = jax.lax.scan(body, state, None, length=n_steps)
+        return s2, jnp.sum(rews)
+
+    run_j = jax.jit(run)
+    _log(f"bench: compiling lanes env rollout (batch={batch}, "
+         f"steps={n_steps})...")
+    t_c = time.perf_counter()
+    s2, tot = run_j(state)
+    jax.block_until_ready(tot)
+    _log(f"bench: lanes env compile+warmup {time.perf_counter() - t_c:.1f}s")
+
+    holder = {"s": s2}
+
+    def once():
+        holder["s"], tot = run_j(holder["s"])
+        return tot
+
+    return _measure_rate(once, batch * n_steps, repeats, "env")
+
+
 def _bench_control_mae(T: int = 200):
     """Control MAE of our LSTM vs an independent NumPy oracle of the
     reference's deployment runtime (CustomerLstmNN.predict semantics) on the
@@ -394,6 +436,10 @@ def main():
             ilqr_path = "lanes"
     if not small and os.path.exists(os.path.join(repo, ".ppo_lanes_ok")):
         ppo_timing, extras_status["ppo"] = _run_extra_subprocess("ppo")
+    env_lanes_timing = None
+    if not small:
+        env_lanes_timing, extras_status["env_lanes"] = \
+            _run_extra_subprocess("env_lanes")
 
     srb_timing, mean_cost = _bench_srb(srb_batch, horizon)
     solves_per_s = srb_timing.rate
@@ -437,6 +483,8 @@ def main():
                                              if ppo_timing else None),
             "env_steps_per_s_per_chip": (round(env_timing.rate, 1)
                                          if env_timing else None),
+            "env_steps_per_s_lanes": (round(env_lanes_timing.rate, 1)
+                                      if env_lanes_timing else None),
             "env_batch": env_batch,
             "device": str(jax.devices()[0]),
             "markers": {
@@ -448,6 +496,7 @@ def main():
             "extras_status": extras_status,
             "timing_guards": {
                 "srb": prov(srb_timing), "env": prov(env_timing),
+                "env_lanes": prov(env_lanes_timing),
                 "ilqr": prov(ilqr_timing), "ppo": prov(ppo_timing),
                 "wb_rh": prov(wb_rh_timing),
             },
@@ -464,6 +513,8 @@ def _extra_main(name: str):
         timing = _bench_ppo()
     elif name == "ilqr_lanes":
         timing, _ = _bench_ilqr(64, 50, n_iter=8, lanes=True)
+    elif name == "env_lanes":
+        timing = _bench_env_lanes()
     else:
         raise SystemExit(f"unknown extra {name!r}")
     if timing is None:
