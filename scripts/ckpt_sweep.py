@@ -46,8 +46,17 @@ def eval_ckpt(cfg, params, key, n_steps):
 def main():
     run_dir = sys.argv[1]
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    # the run dir carries a copy of the training YAML under its ORIGINAL
+    # basename (utils/run_dir.make_run_dir) — e.g. bp5_relax_terrain.yaml
+    # for the terrain leg. Falling back to train_default() here would rank
+    # terrain checkpoints on flat ground, so resolve any unique *.yaml.
     cfg_path = os.path.join(run_dir, "bp5_train.yaml")
-    cfg = (config.from_yaml(cfg_path) if os.path.exists(cfg_path)
+    if not os.path.exists(cfg_path):
+        yamls = sorted(f for f in os.listdir(run_dir)
+                       if f.endswith((".yaml", ".yml")))
+        cfg_path = os.path.join(run_dir, yamls[0]) if len(yamls) == 1 else None
+    cfg = (config.from_yaml(cfg_path)
+           if cfg_path and os.path.exists(cfg_path)
            else config.train_default())
     key = jax.random.PRNGKey(0)
 
