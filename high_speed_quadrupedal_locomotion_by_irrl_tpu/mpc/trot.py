@@ -67,13 +67,26 @@ class TrotProblem(NamedTuple):
 def make_problem(cfg: EnvConfig, gc: jnp.ndarray, gv: jnp.ndarray,
                  command: jnp.ndarray, t0: jnp.ndarray, horizon: int,
                  xy_shift: jnp.ndarray | None = None) -> TrotProblem:
-    """xy_shift: optional (2,) Raibert foothold correction applied to the
-    whole-horizon gait reference (robot.gait.gait_reference) — the same
-    correction the SRB engine plans with (srb.SRBConfig.raibert_gain);
-    None keeps the reference unshifted (bit-exact legacy graphs)."""
+    """xy_shift: optional (2,) Raibert foothold correction, applied to the
+    horizon gait reference SWING legs only (srb.SRBConfig.raibert_gain's
+    whole-body counterpart). Stance gating is essential here: this
+    reference is the tracking COST target of the whole-body solver at
+    every knot, and a planted stance foot cannot follow a shifted IK
+    target — the round-4 stage-A sweep measured the unmasked shift at
+    cost ~1000-1900 with 4-6 falls per 1200 steps at cmd 5
+    (runs/r4_wb_push45.log) where the masked form stays stable. None
+    keeps the reference unshifted (bit-exact legacy graphs)."""
     ts = t0 + jnp.arange(horizon + 1) * cfg.control_dt
-    refs = jax.vmap(lambda t: gait.gait_reference(
-        cfg, command, t, xy_shift).joint_ref)(ts)
+    if xy_shift is None:
+        ref_at = lambda t: gait.gait_reference(cfg, command, t, None).joint_ref
+    else:
+        from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
+
+        def ref_at(t):
+            swing = 1.0 - srb.stance_mask(cfg, t)            # (4,)
+            return gait.gait_reference(
+                cfg, command, t, xy_shift[None, :] * swing[:, None]).joint_ref
+    refs = jax.vmap(ref_at)(ts)
     jd = (refs[1:] - refs[:-1]) / cfg.control_dt
     return TrotProblem(x0=jnp.concatenate([gc, gv]), command=command, t0=t0,
                        joint_refs=refs[:-1], joint_dot_refs=jd,

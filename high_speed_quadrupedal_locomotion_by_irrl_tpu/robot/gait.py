@@ -124,13 +124,18 @@ def gait_reference(cfg: EnvConfig, command: jnp.ndarray, t: jnp.ndarray,
                    touchdown_match: bool = False) -> GaitRef:
     """Joint + end-effector reference at absolute time t for filtered command.
 
-    xy_shift: optional (2,) horizontal offset applied to every toe target —
-    the Raibert foothold correction used by the MPC runtime (the learned
-    policy's imitation reference never shifts). touchdown_match: the
-    MPC-grade profile (see toe_targets)."""
+    xy_shift: optional horizontal Raibert foothold correction — (2,) applies
+    one offset to every toe target (the SRB runtime's form), (4, 2) applies
+    a per-leg offset (the whole-body runtime masks the shift to SWING legs:
+    a planted stance foot cannot follow a shifted IK target, so shifting it
+    only injects infeasible tracking error — measured cost blowups and
+    falls at cmd 5, runs/r4_wb_push45.log stage A). The learned policy's
+    imitation reference never shifts. touchdown_match: the MPC-grade
+    profile (see toe_targets)."""
     toe = toe_targets(cfg, command, t, touchdown_match)
     if xy_shift is not None:
-        toe = toe.at[:, 0].add(xy_shift[0]).at[:, 1].add(xy_shift[1])
+        shift = jnp.broadcast_to(jnp.asarray(xy_shift), (4, 2))
+        toe = toe.at[:, :2].add(shift)
     ik_in = toe.at[:, 1].add(hip_y_offsets(cfg))
     joint_ref = legs_ik(ik_in)
     ee_ref = (toe + EE_OFFSET_J).reshape(-1)

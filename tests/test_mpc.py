@@ -300,3 +300,27 @@ def test_trot_problem_terminal_ref_is_knot_T(trot_setup):
                                np.asarray(expect.joint_ref), atol=1e-6)
     assert not np.allclose(np.asarray(prob.joint_ref_T),
                            np.asarray(prob.joint_refs[-1]))
+
+
+def test_raibert_shift_is_swing_only(trot_setup):
+    """make_problem's Raibert xy_shift must leave STANCE-leg joint
+    references untouched (a planted foot cannot follow a shifted IK
+    target — the unmasked form measured cost ~1000-1900 with falls at
+    cmd 5, runs/r4_wb_push45.log stage A) and must move swing-leg
+    references."""
+    cfg, mpc_cfg, params = trot_setup
+    x0 = trot.standing_x0(cfg)
+    base = trot.make_problem(cfg, x0[:19], jnp.zeros(18),
+                             jnp.array([3.0, 0.0, 0.0]), jnp.asarray(0.0),
+                             mpc_cfg.horizon)
+    shifted = trot.make_problem(cfg, x0[:19], jnp.zeros(18),
+                                jnp.array([3.0, 0.0, 0.0]), jnp.asarray(0.0),
+                                mpc_cfg.horizon,
+                                xy_shift=jnp.array([0.05, 0.0]))
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
+    ts = jnp.arange(mpc_cfg.horizon) * cfg.control_dt
+    moved = np.abs(np.asarray(shifted.joint_refs - base.joint_refs)
+                   ).reshape(mpc_cfg.horizon, 4, 3).max(axis=2)
+    sm = np.asarray(jax.vmap(lambda t: srb.stance_mask(cfg, t))(ts))
+    assert moved[sm == 1.0].max() < 1e-9          # stance refs bit-identical
+    assert moved[sm == 0.0].max() > 1e-3          # swing refs actually shift
