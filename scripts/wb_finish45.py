@@ -5,10 +5,13 @@ the TPU worker crashed (runs/r4_wb_push45.log, 14:33 UTC Aug 20):
   stage B winner: T=0.12 lam=0.42 rg=0 h=24 -> v=4.90 falls=0 (1200 steps)
   stage C (2500 steps): cmd 1/2/3 = 0.93/1.86/2.88 zero falls (unchanged
   low/mid-speed schedule).
-This script measures the missing stage-C rows — cmd 4 and 5 at the winner
-— at 2500 steps, plus a probe of the SWING-MASKED Raibert correction
-(trot.make_problem stance-gating, added after stage A measured the
-unmasked shift at cost ~1000-1900 with falls).
+This script measures the missing stage-C rows. CRASH FINDING: the
+h24 x 2500-step rollout program CRASHES THE TPU WORKER reproducibly
+("TPU worker process crashed or restarted ... kernel fault" — twice:
+stage C cmd 4 at 14:33 and the first finish attempt at 14:54), while
+h24 x 1200 and h16 x 2500 run clean. So the KNOWN-GOOD shapes run first
+(winner rows + swing-masked Raibert probes at h24 x n_probe), and the
+h20 x 2500 attempt goes LAST where a crash cannot eat the safe rows.
 
 Usage: python scripts/wb_finish45.py [n_final] [n_probe]
 """
@@ -58,15 +61,20 @@ def main():
     base = config.test_default().replace(terrain=False, crucial=False)
     win = base.replace(period=0.12, lam=0.42)
 
-    print(f"=== stage C remainder: cmd 4/5 at the stage-B winner "
-          f"(T=0.12 lam=0.42 h24), {n_final} steps ===", flush=True)
+    print(f"=== winner rows at the crash-safe shape (h24 x {n_probe}) ===",
+          flush=True)
     for cmd in (4.0, 5.0):
-        run(win, mk_mpc(24), cmd, n_final)
+        run(win, mk_mpc(24), cmd, n_probe)
 
-    print(f"=== swing-masked Raibert probe at cmd 5 ({n_probe} steps) ===",
+    print(f"=== swing-masked Raibert probe at cmd 5 (h24 x {n_probe}) ===",
           flush=True)
     for rg in (0.03, 0.06):
         run(win, mk_mpc(24), 5.0, n_probe, raibert=rg)
+
+    print(f"=== LAST (may crash the worker): cmd 4/5 at h20 x {n_final} ===",
+          flush=True)
+    for cmd in (4.0, 5.0):
+        run(win, mk_mpc(20), cmd, n_final)
 
 
 if __name__ == "__main__":
