@@ -178,14 +178,7 @@ def _bench_ilqr(batch: int, horizon: int, n_iter: int, repeats: int = 2,
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.phys import model as mdl
 
     cfg = config.test_default().replace(obs_noise=0.0)
-    marker = os.path.join(os.path.dirname(__file__) or ".", ".ilqr_lanes_ok")
-    if lanes and os.path.exists(marker):
-        # the marker records which linearize_chunk was proven+cached by
-        # scripts/bench_ilqr_lanes.py (0 = whole horizon in one wide call)
-        default_chunk = (open(marker).read().strip() or "1")
-    else:
-        default_chunk = "1"
-    chunk = int(os.environ.get("BENCH_ILQR_CHUNK", default_chunk)) if lanes else 1
+    chunk = int(os.environ.get("BENCH_ILQR_CHUNK", "1")) if lanes else 1
     # the lanes extra runs the frozen-operator linearizer (mpc/linearize.py):
     # ~one physics eval per knot instead of 98 FD evals, and a compile-light
     # jacfwd graph where the FD lanes sweep was compile-bound
@@ -419,21 +412,17 @@ def main():
     ilqr_batch = 8 if small else 64
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    # The lanes-batched iLQR graph is compile-bound on the TPU toolchain
-    # (measured: >60 min XLA compile at batch 64 / chunk 10 / horizon 50 —
-    # finding preserved in docs/evidence/; scripts/bench_ilqr_lanes.py proves
-    # a compilable chunk and records it in the COMMITTED .ilqr_lanes_ok),
-    # and the PPO-lanes update compiles ~28 min cold. Both run first, in
-    # budget-bounded subprocesses, before this process touches the TPU
+    # The lanes-batched iLQR extra is RETIRED (round-4 VERDICT item 7): its
+    # graph is compile-infeasible on this TPU toolchain — five dated
+    # failures across three rounds (remote compile-helper SIGKILL at 38
+    # min; >1-2 h kills), closure recorded in docs/evidence/bench_markers.md
+    # and docs/DESIGN.md §4. The official whole-body number is the vmap
+    # cold-start path plus the warm-started RH fleet. The PPO-lanes update
+    # compiles ~28 min cold, so it runs first in a budget-bounded
+    # subprocess, before this process touches the TPU
     # (see _run_extra_subprocess).
-    use_lanes = os.path.exists(os.path.join(repo, ".ilqr_lanes_ok"))
     extras_status = {}
     ilqr_timing, ilqr_path, ppo_timing = None, None, None
-    if not small and use_lanes:
-        ilqr_timing, extras_status["ilqr_lanes"] = \
-            _run_extra_subprocess("ilqr_lanes")
-        if ilqr_timing is not None:
-            ilqr_path = "lanes"
     if not small and os.path.exists(os.path.join(repo, ".ppo_lanes_ok")):
         ppo_timing, extras_status["ppo"] = _run_extra_subprocess("ppo")
     env_lanes_timing = None
@@ -445,7 +434,7 @@ def main():
     solves_per_s = srb_timing.rate
     env_timing = _bench_env(env_batch, env_steps)
     control_mae = _bench_control_mae()
-    if ilqr_timing is None:  # small mode, no marker, or lanes extra failed
+    if ilqr_timing is None:
         try:
             ilqr_timing, ilqr_path = _bench_ilqr(
                 ilqr_batch, horizon, n_iter=2 if small else 8, lanes=False)
@@ -488,7 +477,6 @@ def main():
             "env_batch": env_batch,
             "device": str(jax.devices()[0]),
             "markers": {
-                "ilqr_lanes_ok": use_lanes,
                 "ppo_lanes_ok": os.path.exists(
                     os.path.join(repo, ".ppo_lanes_ok")),
                 "wb_rh_ok": os.path.exists(os.path.join(repo, ".wb_rh_ok")),
@@ -511,8 +499,6 @@ def _extra_main(name: str):
     profiling.enable_compile_cache()
     if name == "ppo":
         timing = _bench_ppo()
-    elif name == "ilqr_lanes":
-        timing, _ = _bench_ilqr(64, 50, n_iter=8, lanes=True)
     elif name == "env_lanes":
         timing = _bench_env_lanes()
     else:

@@ -44,6 +44,16 @@ class PPOConfig:
     lam: float = 0.998
     clip_range: float = 0.2
     ent_coef: float = 0.0
+    # Minimum policy entropy (nats, summed over action dims). After each
+    # update the global logstd is projected UP (uniform additive bump) so
+    # entropy(logstd) >= this floor. Motivation: both terrain relaxation
+    # legs showed clean-physics tracking quality peaking exactly where
+    # entropy crossed ~5.2 nats and collapsing monotonically below it
+    # while every training-side metric stayed healthy
+    # (docs/evidence/terrain_leg2_r4.md) — the same signature as the
+    # flat-ground late-relaxation collapse (PARITY.md). None = off
+    # (bit-exact legacy update graphs).
+    entropy_floor: Optional[float] = None
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     noptepochs: int = 10
@@ -278,6 +288,14 @@ def make_update_fn(env_cfg: EnvConfig, ppo_cfg: PPOConfig) -> Callable:
         epoch_keys = jax.random.split(k_epochs, ppo_cfg.noptepochs)
         (params, opt_state, _), metrics = jax.lax.scan(
             train_epoch, (ts.params, ts.opt_state, batch), epoch_keys)
+        if ppo_cfg.entropy_floor is not None:
+            # project entropy back to the floor: uniform additive logstd
+            # bump (entropy is sum(logstd) + const, so this is the
+            # minimum-norm projection onto {entropy >= floor})
+            ent_now = lstm.entropy(params.logstd)
+            bump = (jnp.maximum(ppo_cfg.entropy_floor - ent_now, 0.0)
+                    / params.logstd.shape[-1])
+            params = params._replace(logstd=params.logstd + bump)
         metrics = jax.tree.map(jnp.mean, metrics)
         # explained variance (logger parity, ppo2.py:424-435)
         var_y = jnp.var(batch.returns)

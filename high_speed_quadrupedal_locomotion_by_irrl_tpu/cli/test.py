@@ -169,6 +169,16 @@ def main(argv=None):
         f, e, t = (float(x) for x in args.material.split(","))
         cfg = cfg.replace(contact_friction=f, contact_restitution=e,
                           contact_res_threshold=t)
+    else:
+        # round-4 advisor: the reference's test path ALWAYS applies
+        # SetContactCoefficient([0.8, 0.2, 0.01]) before eval
+        # (run_bp_v5.py:317) — warn so reference-parity comparisons don't
+        # silently run on this framework's default material
+        print("cli.test: no --material given; running on the config's "
+              f"default contact triple ({cfg.contact_friction}, "
+              f"{cfg.contact_restitution}, {cfg.contact_res_threshold}). "
+              "For reference test-path parity pass "
+              "--material 0.8,0.2,0.01 (run_bp_v5.py:317)")
     if os.path.isdir(args.model):
         params = mio.load_bp5_csv(args.model)
     else:

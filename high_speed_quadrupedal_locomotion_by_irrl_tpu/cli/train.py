@@ -43,6 +43,12 @@ def parse_args(argv):
                    help="checkpoint .pkl to resume params AND optimizer state "
                         "from (interrupted-run continuation; --max-iter then "
                         "counts the REMAINING env steps)")
+    p.add_argument("--entropy-floor", type=float, default=None,
+                   help="minimum policy entropy in nats (logstd projected "
+                        "up after each update). Both terrain relaxation "
+                        "legs collapsed once entropy fell below ~5.2 "
+                        "(docs/evidence/terrain_leg2_r4.md); pass 5.2 to "
+                        "pin exploration there for long relaxation legs")
     p.add_argument("--logstd", type=float, default=None,
                    help="override initial logstd (useful when warm-starting "
                         "from a CSV export that predates the logstd.csv field)")
@@ -86,7 +92,8 @@ def main(argv=None):
         profiling.enable_compile_cache()
         env_cfg = env_cfg.replace(use_lanes_physics=True)
     ppo_cfg = ppo.PPOConfig(learning_rate=args.lr, lr_final=args.lr_final,
-                            n_steps=args.n_steps or env_cfg.episode_len)
+                            n_steps=args.n_steps or env_cfg.episode_len,
+                            entropy_floor=args.entropy_floor)
     if args.max_updates is not None:
         args.max_iter = args.max_updates * env_cfg.num_envs * ppo_cfg.n_steps
 

@@ -162,48 +162,24 @@ class WBMPCRolloutLog(NamedTuple):
     solve_cost: jnp.ndarray  # (T,) iLQR cost of each (warm-started) plan
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps",
-                                             "raibert_gain"))
-def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
-                   key: jax.Array, n_steps: int = 500,
-                   raibert_gain: float = 0.0) -> WBMPCRolloutLog:
-    """Closed-loop receding-horizon *whole-body iLQR* control.
-
-    The full-dynamics counterpart of :func:`mpc_rollout`: at every control
-    step the current [gc; gv] seeds a TrotProblem, the previous plan (shifted
-    by one knot) warm-starts a short iLQR solve through the contact dynamics
-    (mpc/trot.make_dynamics), and the first knot's control drives the env.
-    Receding-horizon warm starting is what makes this affordable: each
-    problem differs from the last by one control step, so 1-2 iLQR
-    iterations (mpc_cfg.n_iter) track the optimum — the classic MPC-iLQR
-    deployment pattern (vs. the cold-start batch solves of trot.solve).
-
-    raibert_gain > 0 shifts the whole-horizon gait reference by
-    gain * (v_meas - v_cmd) in the body xy plane (Raibert foothold
-    correction, same mechanism as srb.SRBConfig.raibert_gain — round-4
-    VERDICT item 6 brought it to the whole-body side); 0.0 keeps the
-    legacy unshifted reference graph.
-
-    The internal model uses the *nominal* parameters and flat ground — model
-    mismatch with the stepped env (DR off here) is the realism this tests.
-    """
+def _make_wb_scan(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
+                  raibert_gain: float):
+    """The shared one-control-step body of the whole-body RH loop: build
+    the TrotProblem at the current state, warm-start the iLQR solve from
+    the one-knot-shifted previous plan, step the env with the first knot's
+    control. Both the monolithic rollout and the chunked crash-safe
+    harness scan exactly this function, so chunking cannot change physics."""
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import (
         cost as mcost,
         ilqr,
         trot,
     )
 
-    cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
-                      stochastic_dynamics=False)
     params = mdl.nominal_params(cfg)
     dynamics = trot.make_dynamics(cfg, mpc_cfg, params)
     linearize_fn = trot.make_linearize_fn(cfg, mpc_cfg, params)
     w = mpc_cfg.weights
     T = mpc_cfg.horizon
-
-    state = bp.env_init(cfg, key)
-    state = state._replace(command=command, command_filtered=command)
-    u0 = jnp.zeros((T, 12))
 
     def scan_fn(carry, _):
         state, us_prev = carry
@@ -239,8 +215,92 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
                               solve_cost=res.cost)
         return (out.state, res.us), log
 
-    (_, _), logs = jax.lax.scan(scan_fn, (state, u0), None, length=n_steps)
+    return scan_fn
+
+
+def _wb_init_carry(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
+                   key: jax.Array):
+    state = bp.env_init(cfg, key)
+    state = state._replace(command=command, command_filtered=command)
+    return state, jnp.zeros((mpc_cfg.horizon, 12))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps",
+                                             "raibert_gain"))
+def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
+                   key: jax.Array, n_steps: int = 500,
+                   raibert_gain: float = 0.0) -> WBMPCRolloutLog:
+    """Closed-loop receding-horizon *whole-body iLQR* control.
+
+    The full-dynamics counterpart of :func:`mpc_rollout`: at every control
+    step the current [gc; gv] seeds a TrotProblem, the previous plan (shifted
+    by one knot) warm-starts a short iLQR solve through the contact dynamics
+    (mpc/trot.make_dynamics), and the first knot's control drives the env.
+    Receding-horizon warm starting is what makes this affordable: each
+    problem differs from the last by one control step, so 1-2 iLQR
+    iterations (mpc_cfg.n_iter) track the optimum — the classic MPC-iLQR
+    deployment pattern (vs. the cold-start batch solves of trot.solve).
+
+    raibert_gain > 0 shifts the gait reference's touchdown footholds by
+    gain * (v_meas - v_cmd) in the body xy plane (continuous
+    Bezier-endpoint Raibert correction, trot.make_problem); 0.0 keeps the
+    legacy unshifted reference graph.
+
+    The internal model uses the *nominal* parameters and flat ground — model
+    mismatch with the stepped env (DR off here) is the realism this tests.
+    """
+    cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                      stochastic_dynamics=False)
+    carry = _wb_init_carry(cfg, mpc_cfg, command, key)
+    scan_fn = _make_wb_scan(cfg, mpc_cfg, command, raibert_gain)
+    _, logs = jax.lax.scan(scan_fn, carry, None, length=n_steps)
     return logs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps",
+                                             "raibert_gain"))
+def _wb_mpc_chunk(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray, carry,
+                  n_steps: int, raibert_gain: float = 0.0):
+    scan_fn = _make_wb_scan(cfg, mpc_cfg, command, raibert_gain)
+    return jax.lax.scan(scan_fn, carry, None, length=n_steps)
+
+
+def wb_mpc_rollout_chunked(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
+                           key: jax.Array, n_steps: int = 2500,
+                           chunk: int = 500,
+                           raibert_gain: float = 0.0) -> WBMPCRolloutLog:
+    """Crash-safe long whole-body RH rollout: k host-synced scan segments.
+
+    Round-4 finding (docs/evidence/wb_push_r4.md): the MONOLITHIC
+    2500-step scan at horizon >= 20 reproducibly crashed the TPU worker
+    ("kernel fault", 3/3 occurrences), while every <=1200-step segment of
+    the same program ran clean. This harness runs ceil(n_steps/chunk)
+    jitted segments of the *identical* scan body (`_make_wb_scan`), fully
+    materializing each segment's carry and logs on the host between
+    segments — the physics is bit-identical to the monolithic scan because
+    the (env state, warm-start plan) carry completely determines the
+    continuation and the env PRNG key lives inside the state. Device log
+    memory is bounded by one chunk; any shape becomes measurable.
+
+    The last chunk is shortened to land exactly on n_steps. Logs are
+    concatenated host-side (numpy), so fields come back as np.ndarray.
+    """
+    import numpy as np
+
+    cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                      stochastic_dynamics=False)
+    carry = _wb_init_carry(cfg, mpc_cfg, command, key)
+    pieces = []
+    done = 0
+    while done < n_steps:
+        n = min(chunk, n_steps - done)
+        carry, logs = _wb_mpc_chunk(cfg, mpc_cfg, command, carry, n,
+                                    raibert_gain)
+        jax.block_until_ready(carry)
+        pieces.append(jax.tree.map(np.asarray, logs))  # host sync + offload
+        done += n
+    return WBMPCRolloutLog(*(np.concatenate([getattr(p, f) for p in pieces])
+                             for f in WBMPCRolloutLog._fields))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps",

@@ -67,25 +67,28 @@ class TrotProblem(NamedTuple):
 def make_problem(cfg: EnvConfig, gc: jnp.ndarray, gv: jnp.ndarray,
                  command: jnp.ndarray, t0: jnp.ndarray, horizon: int,
                  xy_shift: jnp.ndarray | None = None) -> TrotProblem:
-    """xy_shift: optional (2,) Raibert foothold correction, applied to the
-    horizon gait reference SWING legs only (srb.SRBConfig.raibert_gain's
-    whole-body counterpart). Stance gating is essential here: this
-    reference is the tracking COST target of the whole-body solver at
-    every knot, and a planted stance foot cannot follow a shifted IK
-    target — the round-4 stage-A sweep measured the unmasked shift at
-    cost ~1000-1900 with 4-6 falls per 1200 steps at cmd 5
-    (runs/r4_wb_push45.log) where the masked form stays stable. None
-    keeps the reference unshifted (bit-exact legacy graphs)."""
+    """xy_shift: optional (2,) Raibert foothold correction
+    (srb.SRBConfig.raibert_gain's whole-body counterpart), applied as a
+    Bezier-ENDPOINT shift via the continuous per-leg weight
+    gait.raibert_weight: the swing arc converges to the shifted touchdown
+    foothold and the stance sweep decays back from it, so the reference —
+    the tracking COST target of the whole-body solver at every knot — has
+    no jumps and bounded finite-difference velocity refs. Both earlier
+    forms measured HARMFUL at cmd 5 (docs/evidence/wb_push_r4.md): the
+    unmasked shift (cost ~1000-1900, 4-6 falls — a planted stance foot
+    cannot follow a shifted IK target) and the round-4 binary swing mask
+    (cost 7.1e3/2.4e4, 4-6 falls — full-shift reference jumps at every
+    mask flip). None keeps the reference unshifted (bit-exact legacy
+    graphs). See docs/evidence/wb_table_r5.md for the endpoint-form
+    measurements."""
     ts = t0 + jnp.arange(horizon + 1) * cfg.control_dt
     if xy_shift is None:
         ref_at = lambda t: gait.gait_reference(cfg, command, t, None).joint_ref
     else:
-        from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
-
         def ref_at(t):
-            swing = 1.0 - srb.stance_mask(cfg, t)            # (4,)
+            w = gait.raibert_weight(cfg, t)                  # (4,)
             return gait.gait_reference(
-                cfg, command, t, xy_shift[None, :] * swing[:, None]).joint_ref
+                cfg, command, t, xy_shift[None, :] * w[:, None]).joint_ref
     refs = jax.vmap(ref_at)(ts)
     jd = (refs[1:] - refs[:-1]) / cfg.control_dt
     return TrotProblem(x0=jnp.concatenate([gc, gv]), command=command, t0=t0,

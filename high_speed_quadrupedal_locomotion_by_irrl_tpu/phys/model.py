@@ -182,7 +182,12 @@ def damping_for_restitution(kn, d0, e):
     ln_e = jnp.log(jnp.maximum(e, 1e-6))
     zeta = -ln_e / jnp.sqrt(jnp.pi ** 2 + ln_e ** 2)
     d_e = 2.0 * zeta * jnp.sqrt(kn * TOE_EFF_MASS)
-    return jnp.where(e > 1e-3, jnp.minimum(d0, d_e), d0)
+    # continuous anchor blend (round-4 advisor): e <= 1e-3 keeps the
+    # calibrated d0 verbatim, e >= 2e-3 is the exact impact-law mapping,
+    # linear in between — no ~5x damping jump between DR draws an epsilon
+    # apart in e (the old hard e > 1e-3 cutoff)
+    w = jnp.clip((e - 1e-3) / 1e-3, 0.0, 1.0)
+    return d0 + w * (jnp.minimum(d0, d_e) - d0)
 
 
 def nominal_params(cfg=None) -> RobotParams:

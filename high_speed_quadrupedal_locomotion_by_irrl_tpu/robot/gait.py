@@ -111,6 +111,34 @@ def toe_targets(cfg: EnvConfig, command: jnp.ndarray, t: jnp.ndarray,
     return jnp.where(in_stance[:, None], toe_st, toe_sw)
 
 
+def raibert_weight(cfg: EnvConfig, t: jnp.ndarray,
+                   touchdown_match: bool = False) -> jnp.ndarray:
+    """(4,) continuous per-leg weight for a Raibert foothold shift.
+
+    Multiplying a horizontal shift by this weight is EXACTLY "shift the
+    Bezier touchdown endpoint": during swing the xy arc is
+    ``p_back + b_sw * (p_fwd - p_back)``, so weighting the shift by the
+    same blend b_sw moves only the touchdown endpoint ``p_fwd`` — the foot
+    converges to the corrected foothold and arrives there with the nominal
+    touchdown velocity. During stance the sweep is
+    ``p_fwd + b_st * (p_back - p_fwd)``; the decaying weight (1 - b_st)
+    starts the sweep from the shifted endpoint the foot actually landed on
+    and returns to the nominal rear endpoint by lift-off. The weight is
+    continuous through both transitions (1 at touchdown, 0 at lift-off on
+    both sides), so finite-difference joint-velocity references stay
+    bounded — unlike the round-4 binary swing mask, whose full-shift jump
+    at every mask flip injected (delta_q / control_dt) spikes into the
+    velocity-tracking cost (measured cost 7.1e3/2.4e4 with 4-6 falls at
+    cmd 5, docs/evidence/wb_push_r4.md)."""
+    phase = jnp.mod(t + jnp.asarray(cfg.phase_offsets) * cfg.period,
+                    cfg.period) / cfg.period
+    in_stance = phase < cfg.lam
+    r_st = jnp.clip(phase / cfg.lam, 0.0, 1.0)
+    r_sw = jnp.clip((phase - cfg.lam) / (1.0 - cfg.lam), 0.0, 1.0)
+    b_st = r_st if touchdown_match else _bezier_blend(r_st)
+    return jnp.where(in_stance, 1.0 - b_st, _bezier_blend(r_sw))
+
+
 def hip_y_offsets(cfg: EnvConfig) -> jnp.ndarray:
     """temp_offset (Environment.hpp:1794-1798)."""
     return jnp.asarray(np.array([
@@ -126,12 +154,12 @@ def gait_reference(cfg: EnvConfig, command: jnp.ndarray, t: jnp.ndarray,
 
     xy_shift: optional horizontal Raibert foothold correction — (2,) applies
     one offset to every toe target (the SRB runtime's form), (4, 2) applies
-    a per-leg offset (the whole-body runtime masks the shift to SWING legs:
-    a planted stance foot cannot follow a shifted IK target, so shifting it
-    only injects infeasible tracking error — measured cost blowups and
-    falls at cmd 5, runs/r4_wb_push45.log stage A). The learned policy's
-    imitation reference never shifts. touchdown_match: the MPC-grade
-    profile (see toe_targets)."""
+    a per-leg offset (the whole-body runtime weights the shift by
+    :func:`raibert_weight`, which makes it a continuous Bezier-endpoint
+    shift — a planted stance foot cannot follow a jumped IK target, and
+    binary masking measured as harmful as no masking,
+    docs/evidence/wb_push_r4.md). The learned policy's imitation reference
+    never shifts. touchdown_match: the MPC-grade profile (see toe_targets)."""
     toe = toe_targets(cfg, command, t, touchdown_match)
     if xy_shift is not None:
         shift = jnp.broadcast_to(jnp.asarray(xy_shift), (4, 2))

@@ -212,6 +212,28 @@ def test_wb_mpc_fleet_batch_matches_single():
                                np.asarray(single.gc), atol=1e-4)
 
 
+@pytest.mark.slow
+def test_wb_mpc_chunked_matches_monolithic():
+    """runtime.wb_mpc_rollout_chunked (the crash-safe long-rollout harness,
+    round-4 h>=20 x 2500 kernel-fault workaround) must be BIT-IDENTICAL to
+    the monolithic scan: the (state, warm-start plan) carry fully
+    determines the continuation, so host-syncing between segments cannot
+    change physics. Checked with a chunk size that does not divide n_steps
+    (ragged final segment)."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime
+
+    cfg = config.test_default().replace(terrain=False, crucial=False)
+    mc = trot.MPCConfig(horizon=6, n_iter=1, model_substeps=2,
+                        linearize_chunk=1, n_alphas=4, linearizer="frozen")
+    cmd = jnp.array([0.5, 0.0, 0.0])
+    key = jax.random.PRNGKey(0)
+    mono = runtime.wb_mpc_rollout(cfg, mc, cmd, key, 20)
+    chunked = runtime.wb_mpc_rollout_chunked(cfg, mc, cmd, key, 20, chunk=7)
+    for f in runtime.WBMPCRolloutLog._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(mono, f)),
+                                      getattr(chunked, f), err_msg=f)
+
+
 def test_frozen_linearizer_jacobian_accuracy(trot_setup):
     """Frozen-operator Jacobians (mpc/linearize.py) vs central FD of the TRUE
     control-step dynamics at a stance state: the surrogate freezes only the
@@ -302,25 +324,39 @@ def test_trot_problem_terminal_ref_is_knot_T(trot_setup):
                            np.asarray(prob.joint_refs[-1]))
 
 
-def test_raibert_shift_is_swing_only(trot_setup):
-    """make_problem's Raibert xy_shift must leave STANCE-leg joint
-    references untouched (a planted foot cannot follow a shifted IK
-    target — the unmasked form measured cost ~1000-1900 with falls at
-    cmd 5, runs/r4_wb_push45.log stage A) and must move swing-leg
-    references."""
+def test_raibert_shift_is_continuous_endpoint_shift(trot_setup):
+    """make_problem's Raibert xy_shift must be the CONTINUOUS
+    Bezier-endpoint form (gait.raibert_weight): full shift exactly at
+    touchdown, zero at lift-off, and — the property both earlier forms
+    violated (docs/evidence/wb_push_r4.md) — no reference jumps: the
+    shift-induced per-knot delta must stay bounded by the smooth ramp, so
+    finite-difference joint_dot_refs carry no mask-flip spikes."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.robot import gait
+
     cfg, mpc_cfg, params = trot_setup
+    # weight endpoints: touchdown (phase=0) -> 1, lift-off (phase=lam) -> 0
+    w_td = np.asarray(gait.raibert_weight(
+        cfg, jnp.asarray(-cfg.phase_offsets[0] * cfg.period)))
+    w_lo = np.asarray(gait.raibert_weight(
+        cfg, jnp.asarray((cfg.lam - cfg.phase_offsets[0]) * cfg.period)))
+    np.testing.assert_allclose(w_td[0], 1.0, atol=1e-6)
+    np.testing.assert_allclose(w_lo[0], 0.0, atol=1e-6)
+    # continuity on a fine grid: weight changes O(dt), never O(1)
+    ts = jnp.arange(400) * (cfg.period / 200.0)
+    ws = np.asarray(jax.vmap(lambda t: gait.raibert_weight(cfg, t))(ts))
+    assert np.abs(np.diff(ws, axis=0)).max() < 0.05
+
     x0 = trot.standing_x0(cfg)
-    base = trot.make_problem(cfg, x0[:19], jnp.zeros(18),
-                             jnp.array([3.0, 0.0, 0.0]), jnp.asarray(0.0),
-                             mpc_cfg.horizon)
-    shifted = trot.make_problem(cfg, x0[:19], jnp.zeros(18),
-                                jnp.array([3.0, 0.0, 0.0]), jnp.asarray(0.0),
-                                mpc_cfg.horizon,
-                                xy_shift=jnp.array([0.05, 0.0]))
-    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import srb
-    ts = jnp.arange(mpc_cfg.horizon) * cfg.control_dt
-    moved = np.abs(np.asarray(shifted.joint_refs - base.joint_refs)
-                   ).reshape(mpc_cfg.horizon, 4, 3).max(axis=2)
-    sm = np.asarray(jax.vmap(lambda t: srb.stance_mask(cfg, t))(ts))
-    assert moved[sm == 1.0].max() < 1e-9          # stance refs bit-identical
-    assert moved[sm == 0.0].max() > 1e-3          # swing refs actually shift
+    args = (cfg, x0[:19], jnp.zeros(18), jnp.array([3.0, 0.0, 0.0]),
+            jnp.asarray(0.0), mpc_cfg.horizon)
+    base = trot.make_problem(*args)
+    shifted = trot.make_problem(*args, xy_shift=jnp.array([0.05, 0.0]))
+    delta = np.asarray(shifted.joint_refs - base.joint_refs)
+    assert np.abs(delta).max() > 1e-3             # the shift is live
+    # the shift-induced extra velocity reference is bounded by the smooth
+    # ramp — well below the full delta_q/dt spike a binary mask flip
+    # injects (the round-4 failure mode)
+    jd_extra = np.abs(np.asarray(shifted.joint_dot_refs
+                                 - base.joint_dot_refs))
+    mask_spike_scale = np.abs(delta).max() / cfg.control_dt
+    assert jd_extra.max() < 0.5 * mask_spike_scale

@@ -59,6 +59,34 @@ def test_single_update_runs(tiny):
     assert max(jax.tree.leaves(d)) > 0.0
 
 
+def test_entropy_floor_projection(tiny):
+    """PPOConfig.entropy_floor projects logstd UP after each update so
+    policy entropy never drops below the floor (the terrain-relaxation
+    collapse guard, docs/evidence/terrain_leg2_r4.md); with the floor
+    already satisfied the projection must be a no-op."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.models import lstm
+
+    env_cfg, base = tiny
+    # floor ABOVE the init entropy (logstd=0 -> 12*1.419 = 17.03 nats)
+    cfg_hi = dataclasses.replace(base, entropy_floor=20.0)
+    ts = ppo.init_train_state(env_cfg, cfg_hi, jax.random.PRNGKey(0))
+    ts2, _ = jax.jit(ppo.make_update_fn(env_cfg, cfg_hi))(ts)
+    assert float(lstm.entropy(ts2.params.logstd)) >= 20.0 - 1e-4
+    # uniform bump: all dims lifted by the same amount from the pre-floor
+    # update result
+    cfg_off = dataclasses.replace(base, entropy_floor=None)
+    ts3, _ = jax.jit(ppo.make_update_fn(env_cfg, cfg_off))(
+        ppo.init_train_state(env_cfg, cfg_off, jax.random.PRNGKey(0)))
+    bump = np.asarray(ts2.params.logstd) - np.asarray(ts3.params.logstd)
+    np.testing.assert_allclose(bump, bump[0], atol=1e-6)
+    # floor far below -> bit-identical to floor=None
+    cfg_lo = dataclasses.replace(base, entropy_floor=-100.0)
+    ts4, _ = jax.jit(ppo.make_update_fn(env_cfg, cfg_lo))(
+        ppo.init_train_state(env_cfg, cfg_lo, jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(np.asarray(ts4.params.logstd),
+                                  np.asarray(ts3.params.logstd))
+
+
 def test_update_deterministic_given_key(tiny):
     env_cfg, ppo_cfg = tiny
     update = jax.jit(ppo.make_update_fn(env_cfg, ppo_cfg))
