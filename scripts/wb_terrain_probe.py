@@ -1,0 +1,76 @@
+"""Round-5 VERDICT item 8 (stretch): whole-body RH MPC on the fractal
+heightmap — the first terrain x wb-MPC cross-capability measurement.
+
+The reference's Terrain mode composes with every controller
+(Environment.hpp:252-269); here the wb-RH loop runs with the ENV on
+terrain while the MPC's internal model keeps flat ground
+(trot.make_dynamics uses terrain.flat() by construction) — terrain is
+pure unmodeled disturbance, the honest deployment condition. Chunked
+rollouts (crash-safe harness) at the round-5 verified schedule.
+
+Usage: python scripts/wb_terrain_probe.py [n_steps] [cmds]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from high_speed_quadrupedal_locomotion_by_irrl_tpu import config
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.analysis import eval as ev
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime, trot
+from high_speed_quadrupedal_locomotion_by_irrl_tpu.utils import profiling
+
+profiling.enable_compile_cache()
+
+CHUNK = 500
+
+
+def mk_mpc(horizon=16, n_iter=2):
+    return trot.MPCConfig(horizon=horizon, n_iter=n_iter, model_substeps=2,
+                          linearize_chunk=4, n_alphas=4, relin_every=1,
+                          linearizer="frozen")
+
+
+def run(cfg, mc, cmd, n_steps, key):
+    t0 = time.time()
+    log = runtime.wb_mpc_rollout_chunked(
+        cfg, mc, jnp.array([cmd, 0.0, 0.0]), key, n_steps, chunk=CHUNK)
+    vb = np.asarray(ev.body_velocity(log))
+    v = float(vb[int(n_steps * 0.6):, 0].mean())
+    falls = int(np.asarray(log.done).sum())
+    cost = float(np.asarray(log.solve_cost)[-100:].mean())
+    print(f"  cmd {cmd:.1f} T={cfg.period:.2f} lam={cfg.lam:.2f} "
+          f"h={mc.horizon} seed={int(jax.random.key_data(key)[-1])}: "
+          f"v={v:+.2f} falls={falls} cost~{cost:.2f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    return v, falls
+
+
+def main():
+    n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
+    cmds = [float(c) for c in (sys.argv[2].split(",") if len(sys.argv) > 2
+                               else ("1", "2", "3"))]
+    # test_default + terrain ON for the env; the MPC model stays flat
+    base = config.test_default().replace(terrain=True, crucial=False)
+
+    print(f"=== wb-RH MPC on fractal terrain, {n_steps} steps "
+          f"(chunked x{CHUNK}), 3 seeds/cmd ===", flush=True)
+    for cmd in cmds:
+        if cmd < 2.5:
+            cfg, mc = base.replace(period=0.20, lam=0.5), mk_mpc()
+        elif cmd < 3.5:
+            cfg, mc = base.replace(period=0.14, lam=0.5), mk_mpc()
+        else:
+            cfg, mc = base.replace(period=0.12, lam=0.42), mk_mpc(24)
+        for seed in (0, 1, 2):
+            run(cfg, mc, cmd, n_steps, jax.random.PRNGKey(seed))
+
+
+if __name__ == "__main__":
+    main()
