@@ -59,7 +59,15 @@ def _rollout(cfg, engine, vx, key, n_steps):
         log = runtime.mpc_rollout(env_cfg, scfg, cmd, key, n_steps, **kwargs)
     else:
         env_cfg, mpc_cfg = runtime.wb_speed_schedule(cfg, vx)
-        log = runtime.wb_mpc_rollout(env_cfg, mpc_cfg, cmd, key, n_steps)
+        if n_steps > 1200:
+            # long rollouts go through the crash-safe chunked harness:
+            # the h24 high-speed schedule hits the documented h>=20 x 2500
+            # TPU trip-count fault as one monolithic scan
+            # (docs/evidence/wb_table_r5.md; physics bit-identical)
+            log = runtime.wb_mpc_rollout_chunked(env_cfg, mpc_cfg, cmd, key,
+                                                 n_steps, chunk=500)
+        else:
+            log = runtime.wb_mpc_rollout(env_cfg, mpc_cfg, cmd, key, n_steps)
     return env_cfg, log
 
 

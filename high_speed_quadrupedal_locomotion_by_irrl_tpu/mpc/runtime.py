@@ -81,21 +81,29 @@ def speed_schedule(cfg: EnvConfig, vx: float):
 def wb_speed_schedule(cfg: EnvConfig, vx: float):
     """Speed-scheduled whole-body receding-horizon iLQR configuration.
 
-    Encodes the round-3 re-measured schedule (scripts/wb_retune.py,
-    docs/evidence/wb_retune_r3.log — re-tuned after the terminal-knot fix shifted the
-    cost landscape and broke the old cmd-4 T=0.20 point to 0.88 m/s with
-    falls): T=0.20 below 2.5 m/s, T=0.14 from cmd 3 up (the cmd-3
-    transition-regime dip at T=0.20 mirrors the zone the reference's own
-    training struggled with). Measured closed loop (5 s rollouts):
-    0.93 / 1.86 / 2.88 / 3.94 / 4.66 m/s at cmd 1-5, zero falls.
+    Round-5 verified schedule (scripts/wb_table_r5.py,
+    docs/evidence/wb_table_r5.md, all rows 2500-step protocol on chunked
+    rollouts): T=0.20/lam=0.5/h16 below 2.5 m/s, T=0.14/lam=0.5/h16 in the
+    cmd-3 transition regime, and the round-4 sweep winner
+    T=0.12/lam=0.42/h24 (duty-factor drop + longer horizon) from 3.5 m/s
+    up. Measured closed loop: **0.93 / 1.86 / 2.88 / 3.92 / 4.94 m/s at
+    cmd 1-5, zero falls** — cmd 5 within 1.2% of command (the round-3
+    schedule read 4.66 there).
 
-    Returns (env_cfg, MPCConfig) for :func:`wb_mpc_rollout`."""
+    Returns (env_cfg, MPCConfig) for :func:`wb_mpc_rollout` /
+    :func:`wb_mpc_rollout_chunked` (use the chunked harness for rollouts
+    beyond ~1200 steps: the h24 configs hit the documented h>=20 x 2500
+    TPU trip-count fault monolithically, wb_table_r5.md)."""
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import trot
 
     env_cfg = cfg.replace(crucial=False, terrain=False)
-    period = 0.14 if vx >= 2.5 else 0.20
-    env_cfg = env_cfg.replace(period=period)
-    mpc_cfg = trot.MPCConfig(horizon=16, n_iter=2, model_substeps=2,
+    if vx >= 3.5:
+        env_cfg = env_cfg.replace(period=0.12, lam=0.42)
+        horizon = 24
+    else:
+        env_cfg = env_cfg.replace(period=0.14 if vx >= 2.5 else 0.20)
+        horizon = 16
+    mpc_cfg = trot.MPCConfig(horizon=horizon, n_iter=2, model_substeps=2,
                              linearize_chunk=4, n_alphas=4, relin_every=1,
                              linearizer="frozen")
     return env_cfg, mpc_cfg

@@ -247,14 +247,17 @@ def test_speed_schedules_cover_commands():
         seen.add((ec.period, ec.lam))
         ec2, mc = runtime.wb_speed_schedule(cfg, vx)
         assert mc.linearizer == "frozen" and mc.n_iter == 2
-        assert ec2.period in (0.14, 0.20)
+        assert ec2.period in (0.12, 0.14, 0.20)
     # the schedule actually varies with speed (one fixed gait clock cannot
     # cover cmd 1-5 — measured in scripts/mpc45.py)
     assert len(seen) >= 3
     # duty factor drops into the flight-phase regime at top speed
     assert runtime.speed_schedule(cfg, 5.0)[0].lam < 0.5
-    # the wb schedule leaves the default clock at cmd 1-2 and shortens it
-    # in the cmd-3 transition regime and at cmd 5
+    # the wb schedule leaves the default clock at cmd 1-2, shortens it in
+    # the cmd-3 transition regime, and from 3.5 m/s up ships the round-5
+    # verified winner T=0.12/lam=0.42/h24 (docs/evidence/wb_table_r5.md:
+    # 3.92/4.94 at cmd 4/5, 2500 steps, zero falls)
     assert runtime.wb_speed_schedule(cfg, 1.0)[0].period == 0.20
     assert runtime.wb_speed_schedule(cfg, 3.0)[0].period == 0.14
-    assert runtime.wb_speed_schedule(cfg, 5.0)[0].period == 0.14
+    ec5, mc5 = runtime.wb_speed_schedule(cfg, 5.0)
+    assert ec5.period == 0.12 and ec5.lam == 0.42 and mc5.horizon == 24
