@@ -251,8 +251,14 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
 
     raibert_gain > 0 shifts the gait reference's touchdown footholds by
     gain * (v_meas - v_cmd) in the body xy plane (continuous
-    Bezier-endpoint Raibert correction, trot.make_problem); 0.0 keeps the
-    legacy unshifted reference graph.
+    Bezier-endpoint Raibert correction, trot.make_problem). The default
+    0.0 is the MEASURED production setting, not a placeholder: every
+    rg > 0 form probed — unmasked, binary swing mask, and the continuous
+    endpoint form — degraded cmd-5 tracking (4.90 -> <=1.20 m/s with
+    falls; docs/evidence/wb_table_r5.md). The whole-body solver already
+    optimizes footholds through the contact dynamics, so shifting its
+    cost target fights the optimizer; the knob works only on the SRB
+    side, where swing tracking is plain PD (srb.SRBConfig.raibert_gain).
 
     The internal model uses the *nominal* parameters and flat ground — model
     mismatch with the stepped env (DR off here) is the realism this tests.
