@@ -317,14 +317,18 @@ def make_update_fn(env_cfg: EnvConfig, ppo_cfg: PPOConfig) -> Callable:
 def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
           key: jax.Array, params: Optional[lstm.PolicyParams] = None,
           eval_every_n: int = 100, callback=None, verbose: bool = True,
-          metrics_hook=None, opt_state=None):
+          metrics_hook=None, opt_state=None, state_hook=None):
     """Training loop (PPO2.learn parity: periodic eval hook + checkpointing
     are the caller's callback, mirroring ppo2.py:331-341; `metrics_hook`
     fires every update — the CLI uses it to persist metrics.jsonl, this
     framework's TensorBoard-writer stand-in). ``opt_state`` restores the
     optimizer from a checkpoint (this framework saves it, unlike PPO2.save
     — ppo2.py:452-476 drops it); env/LSTM states re-init fresh, which is
-    sound for on-policy PPO."""
+    sound for on-policy PPO. ``state_hook(ts, frac) -> ts`` runs before
+    each update with the run fraction in [0, 1] — curriculum writes into
+    traced TrainState DATA (e.g. the terrain z_scale schedule,
+    cli/train --terrain-z-curriculum) without any recompile, since pytree
+    values are not part of the jit signature."""
     ts = init_train_state(env_cfg, ppo_cfg, key, params)
     if opt_state is not None:
         same = (jax.tree_util.tree_structure(opt_state)
@@ -340,6 +344,8 @@ def learn(env_cfg: EnvConfig, ppo_cfg: PPOConfig, total_timesteps: int,
     try:
         for i in range(n_updates):
             t0 = time.time()
+            if state_hook is not None:
+                ts = state_hook(ts, i / max(n_updates - 1, 1))
             if ppo_cfg.lr_final is not None:
                 lr_i = scheduled_lr(ppo_cfg, i / max(n_updates - 1, 1))
                 ts = ts._replace(

@@ -43,6 +43,14 @@ def parse_args(argv):
                    help="checkpoint .pkl to resume params AND optimizer state "
                         "from (interrupted-run continuation; --max-iter then "
                         "counts the REMAINING env steps)")
+    p.add_argument("--terrain-z-curriculum", type=str, default=None,
+                   metavar="LO,HI",
+                   help="linearly ramp the terrain height scale z_scale "
+                        "from LO to HI over the run (terrain configs only). "
+                        "Pure TrainState data write per update — z_scale "
+                        "multiplies at height-query time "
+                        "(phys/terrain._sampled_height), so the schedule "
+                        "costs zero recompiles")
     p.add_argument("--entropy-floor", type=float, default=None,
                    help="minimum policy entropy in nats (logstd projected "
                         "up after each update). Both terrain relaxation "
@@ -98,10 +106,13 @@ def main(argv=None):
         import glob
         warm = bool(glob.glob(os.path.join(cache_dir or ".jax_cache", "*")))
         print(f"physics path: batch-in-lanes (num_envs={env_cfg.num_envs}); "
-              f"persistent compile cache {'WARM' if warm else 'COLD'} at "
-              f"{cache_dir or '.jax_cache'}"
-              + ("" if warm else " — first update compiles ~25 min once; "
-                 "prewarm with scripts/prewarm_lanes.sh"))
+              f"persistent compile cache {'present' if warm else 'EMPTY'} "
+              f"at {cache_dir or '.jax_cache'} — "
+              + ("cached graphs reload in ~2 min; a changed update graph "
+                 "or new shape still pays the ~25-min lanes compile once"
+                 if warm else
+                 "first update compiles ~25 min once; prewarm with "
+                 "scripts/prewarm_lanes.sh"))
     else:
         print(f"physics path: per-env vmap (num_envs={env_cfg.num_envs}; "
               "lanes auto-enables at --num-envs >= 1024, the measured "
@@ -180,9 +191,26 @@ def _train(args, env_cfg, ppo_cfg, key, params, run_dir, callback, mlog,
             if i % args.eval_every == 0:
                 callback(ts, metrics)
     else:
+        state_hook = None
+        if args.terrain_z_curriculum:
+            if not env_cfg.terrain:
+                raise SystemExit("--terrain-z-curriculum needs a terrain "
+                                 "config (Terrain: true)")
+            lo, hi = (float(x) for x in args.terrain_z_curriculum.split(","))
+
+            def state_hook(ts, frac):
+                import jax.numpy as jnp
+                z = lo + (hi - lo) * frac
+                terr = ts.env_state.terrain
+                terr = terr._replace(
+                    z_scale=jnp.full_like(terr.z_scale, z))
+                return ts._replace(
+                    env_state=ts.env_state._replace(terrain=terr))
+
         ts = ppo.learn(env_cfg, ppo_cfg, args.max_iter, key, params,
                        eval_every_n=args.eval_every, callback=callback,
-                       metrics_hook=mlog.write, opt_state=opt_state)
+                       metrics_hook=mlog.write, opt_state=opt_state,
+                       state_hook=state_hook)
     return ts
 
 

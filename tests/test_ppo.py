@@ -87,6 +87,33 @@ def test_entropy_floor_projection(tiny):
                                   np.asarray(ts3.params.logstd))
 
 
+def test_learn_state_hook_curriculum(tiny):
+    """ppo.learn's state_hook runs before every update with the run
+    fraction and its TrainState writes persist — the zero-recompile
+    curriculum mechanism (cli/train --terrain-z-curriculum writes the
+    terrain z_scale through it; z_scale multiplies at height-query time,
+    phys/terrain._sampled_height)."""
+    env_cfg, base = tiny
+    env_cfg = env_cfg.replace(terrain=True)
+    ppo_cfg = dataclasses.replace(base, n_steps=4)
+    seen = []
+
+    def hook(ts, frac):
+        seen.append(frac)
+        terr = ts.env_state.terrain._replace(
+            z_scale=jnp.full_like(ts.env_state.terrain.z_scale,
+                                  0.02 + 0.08 * frac))
+        return ts._replace(env_state=ts.env_state._replace(terrain=terr))
+
+    n_upd = 3
+    ts = ppo.learn(env_cfg, ppo_cfg, n_upd * env_cfg.num_envs * 4,
+                   jax.random.PRNGKey(0), verbose=False, state_hook=hook)
+    assert seen == [0.0, 0.5, 1.0]
+    # the final write persisted through updates and episode resets
+    np.testing.assert_allclose(np.asarray(ts.env_state.terrain.z_scale),
+                               0.10, atol=1e-6)
+
+
 def test_update_deterministic_given_key(tiny):
     env_cfg, ppo_cfg = tiny
     update = jax.jit(ppo.make_update_fn(env_cfg, ppo_cfg))
