@@ -51,8 +51,10 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def run_rig(n_procs: int):
-    """Localhost CPU rig: N worker processes x 2 virtual devices."""
+def run_rig(n_procs: int, extra_args=()):
+    """Localhost CPU rig: N worker processes x 2 virtual devices.
+    ``extra_args``: shape flags (--num-envs/--srb-batch/--n-steps)
+    forwarded verbatim to every worker."""
     import socket
 
     s = socket.socket()
@@ -67,7 +69,8 @@ def run_rig(n_procs: int):
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--coordinator", f"localhost:{port}",
-         "--num-processes", str(n_procs), "--process-id", str(i)],
+         "--num-processes", str(n_procs), "--process-id", str(i),
+         *extra_args],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         env=env, cwd=REPO) for i in range(n_procs)]
     outs = []
@@ -192,7 +195,13 @@ def worker(args):
 def main():
     args = parse_args()
     if args.rig:
-        run_rig(args.rig)
+        extra = []
+        for flag, v in (("--num-envs", args.num_envs),
+                        ("--srb-batch", args.srb_batch),
+                        ("--n-steps", args.n_steps)):
+            if v is not None:
+                extra += [flag, str(v)]
+        run_rig(args.rig, extra)
     else:
         worker(args)
 
