@@ -5,8 +5,15 @@ selected by closed-loop quality — this reproduces that selection protocol for
 our runs (late relaxation collapses entropy and degrades top speed, so the
 best controller is rarely the final checkpoint).
 
-Usage: python scripts/ckpt_sweep.py <run_dir> [n_steps]
+Usage: python scripts/ckpt_sweep.py <run_dir> [n_steps] [noisy]
 Prints one line per checkpoint: update id, v_mean at cmd 1-5, total falls.
+
+Third arg "noisy" keeps the TRAINING protocol's obs noise + stochastic
+dynamics while pinning the command (round-5 terrain-collapse diagnosis:
+if later checkpoints rank BETTER under the training protocol while the
+clean-physics table collapses, the policy is trading clean-gait tracking
+for perturbation robustness — objective misalignment — rather than
+genuinely degrading).
 """
 
 import os
@@ -29,10 +36,13 @@ profiling.enable_compile_cache()
 COMMANDS = (1.0, 2.0, 3.0, 4.0, 5.0)
 
 
-def eval_ckpt(cfg, params, key, n_steps):
+def eval_ckpt(cfg, params, key, n_steps, noisy=False):
     sign = -1.0 if cfg.wildcat else 1.0
-    ecfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
-                       stochastic_dynamics=False)
+    if noisy:  # training protocol, command pinned
+        ecfg = cfg.replace(manual=True)
+    else:
+        ecfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
+                           stochastic_dynamics=False)
     vs, falls = [], 0
     for vx in COMMANDS:
         log = ev.policy_rollout(ecfg, params, jnp.array([vx, 0.0, 0.0]),
@@ -46,6 +56,7 @@ def eval_ckpt(cfg, params, key, n_steps):
 def main():
     run_dir = sys.argv[1]
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    noisy = len(sys.argv) > 3 and sys.argv[3] == "noisy"
     # the run dir carries a copy of the training YAML under its ORIGINAL
     # basename (utils/run_dir.make_run_dir) — e.g. bp5_relax_terrain.yaml
     # for the terrain leg. Falling back to train_default() here would rank
@@ -68,12 +79,13 @@ def main():
             ckpts.append((upd, name))
     ckpts.sort()
     print(f"sweeping {len(ckpts)} checkpoints in {run_dir} "
-          f"(wildcat={cfg.wildcat}, n_steps={n_steps})", flush=True)
+          f"(wildcat={cfg.wildcat}, n_steps={n_steps}, "
+          f"protocol={'noisy/training' if noisy else 'clean'})", flush=True)
 
     best = None
     for upd, name in ckpts:
         params = mio.load_bp5_csv(os.path.join(run_dir, name))
-        vs, falls = eval_ckpt(cfg, params, key, n_steps)
+        vs, falls = eval_ckpt(cfg, params, key, n_steps, noisy)
         vtxt = "/".join(f"{v:.2f}" for v in vs)
         print(f"{name}: v={vtxt} falls={falls}", flush=True)
         # selection: zero falls first, then top speed, then worst-command error
