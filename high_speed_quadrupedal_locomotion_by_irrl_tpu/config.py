@@ -52,6 +52,9 @@ class EnvConfig:
     # Environment.hpp:252-265) vs analytic fractal value noise; only
     # meaningful when terrain=True
     terrain_sampled: bool = True
+    # heightmap amplitude [m] (Environment.hpp zScale; DR/curriculum write
+    # the live value through EnvState.terrain.z_scale — this is the init)
+    terrain_z_scale: float = 0.1
     manual: bool = False
     crucial: bool = False               # meteorite-attack curriculum
     action_filter: bool = False         # yaml "Filter"
@@ -200,7 +203,8 @@ _YAML_KEYS: Mapping[str, str] = {
     "up_height": "up_height", "down_height": "down_height", "gait_step": "gait_step",
     "Vx": "vx_max", "Vy": "vy_max", "Omega": "omega_max",
     "LeanFront": "lean_front", "LeanHind": "lean_hind", "GaitType": "gait_type",
-    "Terrain": "terrain", "Manual": "manual", "Crutial": "crucial", "Filter": "action_filter",
+    "Terrain": "terrain", "TerrainZScale": "terrain_z_scale",
+    "Manual": "manual", "Crutial": "crucial", "Filter": "action_filter",
     "StochasticDynamics": "stochastic_dynamics", "HeightVariable": "height_variable",
     "TimeBasedContact": "time_based_contact", "ManualTraj": "manual_traj",
     "MotorDynamics": "motor_dynamics", "ObsFilter": "obs_filter", "WILDCAT": "wildcat",

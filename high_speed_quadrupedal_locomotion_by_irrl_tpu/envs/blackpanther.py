@@ -425,8 +425,9 @@ def env_init(cfg: EnvConfig, key: jax.Array,
     params = (mdl.randomize(k_dr, cfg) if cfg.stochastic_dynamics
               else mdl.nominal_params(cfg))
     if cfg.terrain:
-        terrain = (tr.sampled_fractal(k_tr) if cfg.terrain_sampled
-                   else tr.fractal(k_tr))
+        terrain = (tr.sampled_fractal(k_tr, cfg.terrain_z_scale)
+                   if cfg.terrain_sampled
+                   else tr.fractal(k_tr, cfg.terrain_z_scale))
     else:
         terrain = tr.flat()
     zero = jnp.zeros(())

@@ -8,7 +8,9 @@ terrain while the MPC's internal model keeps flat ground
 pure unmodeled disturbance, the honest deployment condition. Chunked
 rollouts (crash-safe harness) at the round-5 verified schedule.
 
-Usage: python scripts/wb_terrain_probe.py [n_steps] [cmds]
+Usage: python scripts/wb_terrain_probe.py [n_steps] [cmds] [z_scale]
+(z_scale: heightmap amplitude in m, default 0.1 = the training terrain;
+smaller values quantify the flat-model controller's terrain tolerance)
 """
 
 import os
@@ -56,11 +58,13 @@ def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
     cmds = [float(c) for c in (sys.argv[2].split(",") if len(sys.argv) > 2
                                else ("1", "2", "3"))]
+    z = float(sys.argv[3]) if len(sys.argv) > 3 else 0.1
     # test_default + terrain ON for the env; the MPC model stays flat
-    base = config.test_default().replace(terrain=True, crucial=False)
+    base = config.test_default().replace(terrain=True, crucial=False,
+                                         terrain_z_scale=z)
 
-    print(f"=== wb-RH MPC on fractal terrain, {n_steps} steps "
-          f"(chunked x{CHUNK}), 3 seeds/cmd ===", flush=True)
+    print(f"=== wb-RH MPC on fractal terrain (z_scale={z}), {n_steps} "
+          f"steps (chunked x{CHUNK}), 3 seeds/cmd ===", flush=True)
     for cmd in cmds:
         if cmd < 2.5:
             cfg, mc = base.replace(period=0.20, lam=0.5), mk_mpc()
