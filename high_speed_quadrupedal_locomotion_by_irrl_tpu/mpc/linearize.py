@@ -65,19 +65,24 @@ class FrozenOps(NamedTuple):
     h0: jnp.ndarray     # (18,) Coriolis + gravity bias (no contact)
 
 
-def make_frozen_linearizer(cfg: EnvConfig, mpc_cfg, params: mdl.RobotParams):
+def make_frozen_linearizer(cfg: EnvConfig, mpc_cfg, params: mdl.RobotParams,
+                           terrain=None):
     """Per-knot (A, B) of the control-step dynamics via the frozen-operator
     surrogate. Returns ``linearize(X (K,n), U (K,m)) -> (A (K,n,n), B (K,n,m))``
     consumable by :func:`ilqr.solve_batch`'s ``linearize_b`` hook.
 
     Matches mpc/trot.make_dynamics semantics: ``model_substeps`` semi-implicit
-    Euler substeps of PD(+clamp) -> forward dynamics per control step, flat
-    terrain, no base wrench."""
+    Euler substeps of PD(+clamp) -> forward dynamics per control step, no
+    base wrench. ``terrain=None`` keeps the legacy flat-ground model;
+    passing a terrain pytree (e.g. the env's own heightmap — the oracle
+    elevation-mapped MPC, docs/evidence/wb_terrain_r5.md) makes the
+    surrogate's contact projection terrain-aware; the height query is
+    bilinear, hence piecewise-linear-differentiable under the jacfwd."""
     sub_dt = cfg.control_dt / mpc_cfg.model_substeps
     action_mean = mdl.stand_gc(cfg.abad)[7:]
     gains = jnp.asarray([cfg.abad_ratio, 1.0, 1.0] * 4)
     kp, kd = cfg.stiffness * gains, cfg.damping * gains
-    flat = tr.flat()
+    flat = tr.flat() if terrain is None else terrain
     nb = mdl.NUM_BODIES
 
     def compute_frozen(x):

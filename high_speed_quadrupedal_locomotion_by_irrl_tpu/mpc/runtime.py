@@ -171,7 +171,7 @@ class WBMPCRolloutLog(NamedTuple):
 
 
 def _make_wb_scan(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
-                  raibert_gain: float):
+                  raibert_gain: float, terrain=None):
     """The shared one-control-step body of the whole-body RH loop: build
     the TrotProblem at the current state, warm-start the iLQR solve from
     the one-knot-shifted previous plan, step the env with the first knot's
@@ -184,8 +184,8 @@ def _make_wb_scan(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
     )
 
     params = mdl.nominal_params(cfg)
-    dynamics = trot.make_dynamics(cfg, mpc_cfg, params)
-    linearize_fn = trot.make_linearize_fn(cfg, mpc_cfg, params)
+    dynamics = trot.make_dynamics(cfg, mpc_cfg, params, terrain)
+    linearize_fn = trot.make_linearize_fn(cfg, mpc_cfg, params, terrain)
     w = mpc_cfg.weights
     T = mpc_cfg.horizon
 
@@ -233,11 +233,10 @@ def _wb_init_carry(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
     return state, jnp.zeros((mpc_cfg.horizon, 12))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps",
-                                             "raibert_gain"))
 def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
                    key: jax.Array, n_steps: int = 500,
-                   raibert_gain: float = 0.0) -> WBMPCRolloutLog:
+                   raibert_gain: float = 0.0,
+                   terrain_model: bool = False) -> WBMPCRolloutLog:
     """Closed-loop receding-horizon *whole-body iLQR* control.
 
     The full-dynamics counterpart of :func:`mpc_rollout`: at every control
@@ -265,24 +264,34 @@ def wb_mpc_rollout(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
     """
     cfg = cfg.replace(manual=True, obs_noise=0.0, action_noise=0.0,
                       stochastic_dynamics=False)
+    # init runs EAGERLY, exactly as in wb_mpc_rollout_chunked, and the
+    # whole rollout is one `_wb_mpc_chunk` call: monolithic and chunked
+    # share every instruction, so segment boundaries are the ONLY
+    # difference between them. (When init was traced inside a wholesale
+    # jit, XLA fused the terrain sampling differently than the eager
+    # chunked init and the two paths diverged in float — caught by
+    # tests/test_mpc.py::test_wb_mpc_terrain_oracle_model.)
     carry = _wb_init_carry(cfg, mpc_cfg, command, key)
-    scan_fn = _make_wb_scan(cfg, mpc_cfg, command, raibert_gain)
-    _, logs = jax.lax.scan(scan_fn, carry, None, length=n_steps)
+    _, logs = _wb_mpc_chunk(cfg, mpc_cfg, command, carry, n_steps,
+                            raibert_gain, terrain_model)
     return logs
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mpc_cfg", "n_steps",
-                                             "raibert_gain"))
+                                             "raibert_gain", "terrain_model"))
 def _wb_mpc_chunk(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray, carry,
-                  n_steps: int, raibert_gain: float = 0.0):
-    scan_fn = _make_wb_scan(cfg, mpc_cfg, command, raibert_gain)
+                  n_steps: int, raibert_gain: float = 0.0,
+                  terrain_model: bool = False):
+    terrain = carry[0].terrain if terrain_model else None
+    scan_fn = _make_wb_scan(cfg, mpc_cfg, command, raibert_gain, terrain)
     return jax.lax.scan(scan_fn, carry, None, length=n_steps)
 
 
 def wb_mpc_rollout_chunked(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
                            key: jax.Array, n_steps: int = 2500,
                            chunk: int = 500,
-                           raibert_gain: float = 0.0) -> WBMPCRolloutLog:
+                           raibert_gain: float = 0.0,
+                           terrain_model: bool = False) -> WBMPCRolloutLog:
     """Crash-safe long whole-body RH rollout: k host-synced scan segments.
 
     Round-4 finding (docs/evidence/wb_push_r4.md): the MONOLITHIC
@@ -309,7 +318,7 @@ def wb_mpc_rollout_chunked(cfg: EnvConfig, mpc_cfg, command: jnp.ndarray,
     while done < n_steps:
         n = min(chunk, n_steps - done)
         carry, logs = _wb_mpc_chunk(cfg, mpc_cfg, command, carry, n,
-                                    raibert_gain)
+                                    raibert_gain, terrain_model)
         jax.block_until_ready(carry)
         pieces.append(jax.tree.map(np.asarray, logs))  # host sync + offload
         done += n

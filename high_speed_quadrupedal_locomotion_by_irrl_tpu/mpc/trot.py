@@ -96,13 +96,19 @@ def make_problem(cfg: EnvConfig, gc: jnp.ndarray, gv: jnp.ndarray,
                        joint_ref_T=refs[-1])
 
 
-def make_dynamics(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams):
-    """Deterministic control-step dynamics x,u,t -> x' for the MPC model."""
+def make_dynamics(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams,
+                  terrain=None):
+    """Deterministic control-step dynamics x,u,t -> x' for the MPC model.
+
+    ``terrain=None`` keeps the legacy flat-ground internal model; passing a
+    terrain pytree (the env's own heightmap = the oracle elevation-mapped
+    MPC) makes the model's contact terrain-aware — the measured fix path
+    for the flat-model failure on z=0.1 terrain (wb_terrain_r5.md)."""
     sub_dt = cfg.control_dt / mpc_cfg.model_substeps
     action_mean = mdl.stand_gc(cfg.abad)[7:]
     gains = jnp.asarray([cfg.abad_ratio, 1.0, 1.0] * 4)
     kp, kd = cfg.stiffness * gains, cfg.damping * gains
-    flat = tr.flat()
+    flat = tr.flat() if terrain is None else terrain
 
     def step(x, u, t):
         del t
@@ -125,12 +131,12 @@ def make_dynamics(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams):
 
 
 def make_linearize_fn(cfg: EnvConfig, mpc_cfg: MPCConfig,
-                      params: mdl.RobotParams):
+                      params: mdl.RobotParams, terrain=None):
     """The MPCConfig-selected Jacobian provider (None = jacfwd/FD default)."""
     if mpc_cfg.linearizer != "frozen":
         return None
     from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import linearize
-    return linearize.make_frozen_linearizer(cfg, mpc_cfg, params)
+    return linearize.make_frozen_linearizer(cfg, mpc_cfg, params, terrain)
 
 
 def solve(cfg: EnvConfig, mpc_cfg: MPCConfig, params: mdl.RobotParams,

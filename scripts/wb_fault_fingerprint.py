@@ -39,10 +39,17 @@ def mk_mpc(h):
 
 def fingerprint(h, n_steps):
     cfg = config.test_default().replace(terrain=False, crucial=False,
-                                        period=0.12, lam=0.42)
-    lowered = runtime.wb_mpc_rollout.lower(
-        cfg, mk_mpc(h), jnp.array([5.0, 0.0, 0.0]), jax.random.PRNGKey(0),
-        n_steps)
+                                        period=0.12, lam=0.42,
+                                        manual=True, obs_noise=0.0,
+                                        action_noise=0.0,
+                                        stochastic_dynamics=False)
+    # the faulting program is the single n_steps-length RH scan — today
+    # that is exactly one `_wb_mpc_chunk` dispatch (wb_mpc_rollout is the
+    # eager-init wrapper around it since the init-path unification)
+    carry = runtime._wb_init_carry(cfg, mk_mpc(h), jnp.array([5.0, 0.0, 0.0]),
+                                   jax.random.PRNGKey(0))
+    lowered = runtime._wb_mpc_chunk.lower(
+        cfg, mk_mpc(h), jnp.array([5.0, 0.0, 0.0]), carry, n_steps)
     text = lowered.as_text()
     ops = Counter(line.strip().split(" ", 2)[2].split("(")[0].strip('= "')
                   for line in text.splitlines()

@@ -234,6 +234,37 @@ def test_wb_mpc_chunked_matches_monolithic():
                                       getattr(chunked, f), err_msg=f)
 
 
+@pytest.mark.slow
+def test_wb_mpc_terrain_oracle_model():
+    """terrain_model=True threads the env's own heightmap into the MPC
+    model + frozen linearizer (the oracle elevation-mapped MPC,
+    trot.make_dynamics/make_linearize_fn terrain param). The rollout must
+    run finite on terrain, DIFFER from the flat-model rollout (the terrain
+    actually reaches the solver), and stay chunk-equivalent."""
+    from high_speed_quadrupedal_locomotion_by_irrl_tpu.mpc import runtime
+
+    cfg = config.test_default().replace(terrain=True, crucial=False,
+                                        terrain_z_scale=0.05)
+    mc = trot.MPCConfig(horizon=6, n_iter=1, model_substeps=2,
+                        linearize_chunk=1, n_alphas=4, linearizer="frozen")
+    cmd = jnp.array([0.5, 0.0, 0.0])
+    key = jax.random.PRNGKey(0)
+    # 40 steps: at this spawn the local ground sits ~3 cm below z=0, so
+    # the flat and oracle models only predict different contact once the
+    # settling robot nears ground (~25 steps in); shorter rollouts see
+    # zero contact in BOTH models and bit-identical plans (measured)
+    n = 40
+    oracle = runtime.wb_mpc_rollout(cfg, mc, cmd, key, n,
+                                    terrain_model=True)
+    assert np.isfinite(np.asarray(oracle.solve_cost)).all()
+    flat_model = runtime.wb_mpc_rollout(cfg, mc, cmd, key, n)
+    assert np.abs(np.asarray(oracle.action)
+                  - np.asarray(flat_model.action)).max() > 1e-6
+    chunked = runtime.wb_mpc_rollout_chunked(cfg, mc, cmd, key, n, chunk=17,
+                                             terrain_model=True)
+    np.testing.assert_array_equal(np.asarray(oracle.gc), chunked.gc)
+
+
 def test_frozen_linearizer_jacobian_accuracy(trot_setup):
     """Frozen-operator Jacobians (mpc/linearize.py) vs central FD of the TRUE
     control-step dynamics at a stance state: the surrogate freezes only the
