@@ -18,13 +18,27 @@ cd "$(dirname "$0")/.."
 LOG=${1:-docs/evidence/pytest_slow_latest.log}
 : > "$LOG"
 overall=0
-for f in tests/test_*.py; do
-    echo "=== $f start $(date) ===" >> "$LOG"
-    python -m pytest "$f" -m slow -q -p no:cacheprovider >> "$LOG" 2>&1
-    rc=$?
-    [ $rc -eq 5 ] && rc=0    # rc 5 = no slow tests in this file
-    echo "=== $f rc=$rc $(date) ===" >> "$LOG"
+run_chunk() {   # run_chunk <label> <pytest args...>
+    local label=$1; shift
+    echo "=== $label start $(date) ===" >> "$LOG"
+    python -m pytest "$@" -m slow -q -p no:cacheprovider >> "$LOG" 2>&1
+    local rc=$?
+    [ $rc -eq 5 ] && rc=0    # rc 5 = no slow tests selected
+    echo "=== $label rc=$rc $(date) ===" >> "$LOG"
     [ $rc -ne 0 ] && overall=1
+}
+for f in tests/test_*.py; do
+    if [ "$f" = "tests/test_mpc.py" ]; then
+        # test_mpc accumulated enough huge RH-MPC graphs that ONE process
+        # compiling all of them now hits the intermittent XLA CPU
+        # compiler segfault inside the file itself (round 5: rc=139 after
+        # 12 green tests). Split the receding-horizon/wb group into its
+        # own process to bound the per-process compile load.
+        run_chunk "$f[non-wb]" "$f" -k "not wb_mpc"
+        run_chunk "$f[wb]" "$f" -k "wb_mpc"
+    else
+        run_chunk "$f" "$f"
+    fi
 done
 echo "SLOW SUITE OVERALL rc=$overall" >> "$LOG"
 exit $overall
