@@ -81,14 +81,14 @@ def speed_schedule(cfg: EnvConfig, vx: float):
 def wb_speed_schedule(cfg: EnvConfig, vx: float):
     """Speed-scheduled whole-body receding-horizon iLQR configuration.
 
-    Round-5 verified schedule (scripts/wb_table_r5.py,
+    Round-5 verified schedule (scripts/wb_table_r5.py + the lam fine
+    sweep scripts/wb_push5_r5.py + scripts/wb_confirm4_r5.py,
     docs/evidence/wb_table_r5.md, all rows 2500-step protocol on chunked
     rollouts): T=0.20/lam=0.5/h16 below 2.5 m/s, T=0.14/lam=0.5/h16 in the
-    cmd-3 transition regime, and the round-4 sweep winner
-    T=0.12/lam=0.42/h24 (duty-factor drop + longer horizon) from 3.5 m/s
-    up. Measured closed loop: **0.93 / 1.86 / 2.88 / 3.92 / 4.94 m/s at
-    cmd 1-5, zero falls** — cmd 5 within 1.2% of command (the round-3
-    schedule read 4.66 there).
+    cmd-3 transition regime, and the fine-sweep winner T=0.12/lam=0.44/h24
+    from 3.5 m/s up. Measured closed loop: **0.93 / 1.86 / 2.88 / 3.95 /
+    5.03 m/s at cmd 1-5, zero falls** — cmd 5 AT the commanded 5 m/s
+    (100.6%; the round-3 schedule read 4.66 there).
 
     Returns (env_cfg, MPCConfig) for :func:`wb_mpc_rollout` /
     :func:`wb_mpc_rollout_chunked` (use the chunked harness for rollouts
@@ -98,7 +98,7 @@ def wb_speed_schedule(cfg: EnvConfig, vx: float):
 
     env_cfg = cfg.replace(crucial=False, terrain=False)
     if vx >= 3.5:
-        env_cfg = env_cfg.replace(period=0.12, lam=0.42)
+        env_cfg = env_cfg.replace(period=0.12, lam=0.44)
         horizon = 24
     else:
         env_cfg = env_cfg.replace(period=0.14 if vx >= 2.5 else 0.20)

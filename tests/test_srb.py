@@ -255,9 +255,9 @@ def test_speed_schedules_cover_commands():
     assert runtime.speed_schedule(cfg, 5.0)[0].lam < 0.5
     # the wb schedule leaves the default clock at cmd 1-2, shortens it in
     # the cmd-3 transition regime, and from 3.5 m/s up ships the round-5
-    # verified winner T=0.12/lam=0.42/h24 (docs/evidence/wb_table_r5.md:
-    # 3.92/4.94 at cmd 4/5, 2500 steps, zero falls)
+    # fine-sweep winner T=0.12/lam=0.44/h24 (docs/evidence/wb_table_r5.md:
+    # 3.95/5.03 at cmd 4/5, 2500 steps, zero falls — cmd 5 at 100.6%)
     assert runtime.wb_speed_schedule(cfg, 1.0)[0].period == 0.20
     assert runtime.wb_speed_schedule(cfg, 3.0)[0].period == 0.14
     ec5, mc5 = runtime.wb_speed_schedule(cfg, 5.0)
-    assert ec5.period == 0.12 and ec5.lam == 0.42 and mc5.horizon == 24
+    assert ec5.period == 0.12 and ec5.lam == 0.44 and mc5.horizon == 24
