@@ -69,7 +69,10 @@ def main():
         elif cmd < 3.5:
             cfg, mc = base.replace(period=0.14, lam=0.5), mk_mpc()
         else:
-            cfg, mc = base.replace(period=0.12, lam=0.42), mk_mpc(24)
+            # the shipped high-speed schedule (lam=0.44 since the round-5
+            # fine sweep; the first oracle cmd-4/5 capture predates it and
+            # ran lam=0.42 — each row prints its own lam)
+            cfg, mc = base.replace(period=0.12, lam=0.44), mk_mpc(24)
         for seed in (0, 1, 2):
             run(cfg, mc, cmd, n_steps, jax.random.PRNGKey(seed))
 
